@@ -1,0 +1,66 @@
+package graft
+
+import graft.eval.Eval
+import graft.pipeline.EntityResolution
+import graft.synth.{DocGen, GenConfig}
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point for the entity-resolution pipeline.
+  *
+  * Usage (all args optional):
+  *   graft.Main [--entities N] [--docs-per-entity D] [--seed S]
+  *              [--run-dir DIR] [--resume] [--threads T] [--no-eval]
+  *
+  * Synthesizes the deterministic docs corpus (BASELINE.json input_hint
+  * shape), runs blocking → scoring → clustering (checkpointed to
+  * --run-dir when given, resumable with --resume), evaluates pairwise
+  * F1 at shared blocking keys + exact cluster equality vs gold, and
+  * prints one JSON line of metrics.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 1).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v
+    }.toMap
+    val flags = args.filter(_.startsWith("--")).toSet
+    val cfg = GenConfig(
+      numEntities = opts.getOrElse("--entities", "200").toInt,
+      docsPerEntity = opts.getOrElse("--docs-per-entity", "3").toInt,
+      seed = opts.getOrElse("--seed", "42").toLong)
+    val threads = opts.getOrElse("--threads", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val runDir = opts.get("--run-dir")
+    val resume = flags.contains("--resume")
+    val doEval = !flags.contains("--no-eval")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName("graft-er")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val docs = DocGen.docs(spark, cfg).toDF().cache()
+    val nDocs = docs.count()
+    val res = EntityResolution.run(spark, docs, runDir = runDir, resume = resume)
+    val nClusters = res.assignments.select("cluster_id").distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val evalJson = if (doEval) {
+      val gold = DocGen.gold(spark, cfg).toDF()
+      val labeled = EntityResolution.labeledPairs(res.blocking, gold)
+      val m = Eval.pairwiseF1(res.assignments, labeled)
+      val eq = Eval.clusterEquality(res.assignments, gold)
+      s""","f1":${m.f1},"precision":${m.precision},"recall":${m.recall},"cluster_equality":$eq"""
+    } else ""
+    val counters = res.counters.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(
+      s"""{"docs":$nDocs,"clusters":$nClusters,"cc_iterations":${res.ccIterations},""" +
+      s""""seconds":$secs,"docs_per_sec":${nDocs / secs},"counters":$counters$evalJson}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ckpt
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Iceberg-style snapshot/lineage layer over Parquet.
+  *
+  * No Iceberg runtime jar ships in /opt/spark/jars (offline resolution), so
+  * this implements the snapshot semantics the north rule actually uses —
+  * atomic commit, per-partition lineage rows + counters, resume from the
+  * last committed snapshot — behind a small interface; an Iceberg catalog
+  * drops in behind the same calls when available (SURVEY.md §7.4).
+  *
+  * Layout: <runDir>/<stage>/snapshot=<id>/data/      (parquet files)
+  *         <runDir>/<stage>/snapshot=<id>/lineage/   (parquet files)
+  *         <runDir>/<stage>/snapshot=<id>/_COMMITTED (atomic marker)
+  *
+  * Reference analogue of lineage counters: LongAccumulator side channels
+  * printed at job end (APCompletion.scala:210-258) — upgraded to durable
+  * per-partition rows committed WITH the data they describe.
+  */
+object Snapshots {
+
+  final case class Committed(stage: String, snapshotId: Long, path: String, rows: Long)
+
+  private def stageDir(runDir: String, stage: String) = s"$runDir/$stage"
+
+  /** Latest committed snapshot id for a stage, if any. */
+  def lastCommitted(runDir: String, stage: String): Option[Long] = {
+    val d = Paths.get(stageDir(runDir, stage))
+    if (!Files.isDirectory(d)) return None
+    val ids = Files.list(d).toArray.toSeq.map(_.toString)
+      .flatMap { p =>
+        val name = Paths.get(p).getFileName.toString
+        if (name.startsWith("snapshot=") && Files.exists(Paths.get(p, "_COMMITTED")))
+          Some(name.stripPrefix("snapshot=").toLong)
+        else None
+      }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Atomically commit `df` as the next snapshot of `stage`:
+    * write data → write per-partition lineage rows → fsync manifest →
+    * move _COMMITTED marker into place. A crash at any earlier point
+    * leaves no committed snapshot, so resume recomputes the stage.
+    * Returns the committed handle; the DataFrame read back is the
+    * canonical stage output (also truncates upstream lineage — doubles
+    * as the reference's cache() of reused RDDs, FormatSmartCardData:48).
+    */
+  def commit(spark: SparkSession, df: DataFrame, runDir: String, stage: String,
+             runId: String, counters: Map[String, Long]): Committed = {
+    val snapId = lastCommitted(runDir, stage).getOrElse(-1L) + 1L
+    val snapPath = s"${stageDir(runDir, stage)}/snapshot=$snapId"
+    val dataPath = s"$snapPath/data"
+    df.write.mode(SaveMode.Overwrite).parquet(dataPath)
+
+    val written = spark.read.parquet(dataPath)
+    val lineage = written
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows_out"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("stage", lit(stage))
+      .withColumn("snapshot_id", lit(snapId))
+      .withColumn("counters",
+        map(counters.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
+      .withColumn("committed_at", current_timestamp())
+    lineage.write.mode(SaveMode.Overwrite).parquet(s"$snapPath/lineage")
+
+    val rows = written.count()
+    val manifest =
+      s"""{"run_id":"$runId","stage":"$stage","snapshot_id":$snapId,"rows":$rows,
+         |"counters":{${counters.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""".stripMargin
+    val tmp = Paths.get(s"$snapPath/_manifest.tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, Paths.get(s"$snapPath/_manifest.json"), StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(Paths.get(s"$snapPath/_COMMITTED.tmp"), "ok")
+    Files.move(Paths.get(s"$snapPath/_COMMITTED.tmp"), Paths.get(s"$snapPath/_COMMITTED"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Committed(stage, snapId, dataPath, rows)
+  }
+
+  /** Read the latest committed snapshot of a stage, if present. */
+  def loadCommitted(spark: SparkSession, runDir: String, stage: String): Option[DataFrame] =
+    lastCommitted(runDir, stage).map { id =>
+      spark.read.parquet(s"${stageDir(runDir, stage)}/snapshot=$id/data")
+    }
+
+  /** All lineage rows of a run directory (time-ordered snapshot log). */
+  def lineage(spark: SparkSession, runDir: String): Option[DataFrame] = {
+    val d = Paths.get(runDir)
+    if (!Files.isDirectory(d)) return None
+    val paths = Files.walk(d).toArray.toSeq.map(_.toString)
+      .filter(_.endsWith("/lineage"))
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths: _*))
+  }
+}

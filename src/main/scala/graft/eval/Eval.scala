@@ -1,0 +1,66 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evaluation gates (BASELINE.md): pairwise P/R/F1 against labeled pairs at
+  * shared blocking keys + exact cluster-membership equality vs gold.
+  * Reference analogue: accuracy vs IdMap (AMPI.scala:408-413).
+  */
+object Eval {
+
+  final case class PairwiseMetrics(tp: Long, fp: Long, fn: Long, precision: Double, recall: Double, f1: Double)
+
+  /** labeled_pairs(doc_id_a, doc_id_b, is_match) vs predicted same-cluster
+    * from assignments(doc_id, cluster_id).
+    */
+  def pairwiseF1(assignments: DataFrame, labeledPairs: DataFrame): PairwiseMetrics = {
+    val ca = assignments.select(col("doc_id").as("doc_id_a"), col("cluster_id").as("ca"))
+    val cb = assignments.select(col("doc_id").as("doc_id_b"), col("cluster_id").as("cb"))
+    val joined = labeledPairs
+      .join(ca, Seq("doc_id_a"), "left")
+      .join(cb, Seq("doc_id_b"), "left")
+      .withColumn("pred", col("ca").isNotNull && col("ca") === col("cb"))
+    val agg = joined.agg(
+      sum(when(col("pred") && col("is_match"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && !col("is_match"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred") && col("is_match"), 1L).otherwise(0L)).as("fn")
+    ).collect()(0)
+    val tp = agg.getLong(0); val fp = agg.getLong(1); val fn = agg.getLong(2)
+    val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+    val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    PairwiseMetrics(tp, fp, fn, p, r, f1)
+  }
+
+  /** Exact cluster-membership equality: the partition induced by
+    * `assignments` equals the partition induced by gold entity ids.
+    * Checked by comparing canonicalized cluster signatures (min doc_id of
+    * the gold entity vs predicted cluster_id per doc).
+    */
+  def clusterEquality(assignments: DataFrame, gold: DataFrame): Boolean = {
+    val goldCanon = gold
+      .groupBy(col("entity_id"))
+      .agg(min(col("doc_id")).as("gold_cluster_id"))
+      .join(gold, "entity_id")
+      .select(col("doc_id"), col("gold_cluster_id"))
+    assignments.join(goldCanon, "doc_id")
+      .where(col("cluster_id") =!= col("gold_cluster_id"))
+      .isEmpty
+  }
+
+  /** Per-row span-sequence invariant (input_hint): the (kind, text,
+    * media_ref, offset-order) sequence of every doc_id in `current` equals
+    * the input's. Returns number of violating docs (0 = invariant holds).
+    */
+  def spanInvariantViolations(input: DataFrame, current: DataFrame): Long = {
+    def canon(df: DataFrame, as: String) = df.select(
+      col("doc_id"),
+      sha2(to_json(array_sort(col("spans"),
+        (a, b) => when(a.getField("offset") < b.getField("offset"), -1)
+          .when(a.getField("offset") > b.getField("offset"), 1).otherwise(0))), 256).as(as))
+    canon(input, "h_in").join(canon(current, "h_cur"), "doc_id")
+      .where(col("h_in") =!= col("h_cur"))
+      .count()
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Transitive clustering: iterative DataFrame connected components via
+  * alternating large-star / small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) — the north-rule
+  * generalization of the reference's top-1-per-AP assignment
+  * (Model.scala:536-539; top-1 is the degenerate star case).
+  *
+  * Works over STRING node ids with lexicographic order (cluster_id =
+  * min doc_id, FIXTURES.md §3) — no fragile 64-bit-hash node mapping, so
+  * no collision risk at 10^12 nodes.
+  *
+  * Each iteration persists + materializes the new edge set and truncates
+  * lineage via localCheckpoint, so the plan does not grow unboundedly.
+  */
+object ConnectedComponents {
+
+  /** One large-star step: connect every neighbor larger than u to the min
+    * of u's closed neighborhood. Input/output: canonical edges (src, dst).
+    */
+  private[operators] def largeStar(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    bidir.groupBy(col("src").as("u"))
+      .agg(least(min(col("dst")), first(col("src"))).as("m"),
+           collect_set(col("dst")).as("nbrs"))
+      .select(col("u"), col("m"), explode(col("nbrs")).as("v"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star step: among edges oriented high→low, connect all of
+    * u's smaller neighbors (and u) to the minimum.
+    */
+  private[operators] def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+    oriented.groupBy(col("u"))
+      .agg(min(col("v")).as("m"), collect_set(col("v")).as("nbrs"))
+      .select(col("u"), col("m"),
+        explode(array_union(col("nbrs"), array(col("u")))).as("v"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Run to convergence; returns (node -> component-min) assignments for
+    * every node appearing in `edges`, plus the iteration count.
+    */
+  private def canonical(e: DataFrame): DataFrame =
+    e.select(least(col("src"), col("dst")).as("src"),
+             greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+  def run(spark: SparkSession, edges0: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    // loop state keeps smallStar's (node → smaller) orientation; the
+    // canonical (lo,hi) form is used only for the convergence test
+    var edges = canonical(edges0).localCheckpoint()
+    var prevCanon = edges
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val ss = smallStar(largeStar(edges)).localCheckpoint()
+      val nextCanon = canonical(ss).localCheckpoint()
+      val prevC = prevCanon.count()
+      val nextC = nextCanon.count()
+      val diff =
+        if (prevC != nextC) 1L
+        else nextCanon.exceptAll(prevCanon).count()
+      edges = ss
+      prevCanon = nextCanon
+      iter += 1
+      converged = diff == 0L
+    }
+    // at fixpoint every edge is (node, componentMin) with node > min;
+    // component mins themselves map to themselves
+    val assign = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    (assign, iter)
+  }
+
+  /** Full assignment for all docs: nodes with no surviving edge form
+    * singleton clusters (cluster_id = own doc_id).
+    */
+  def assignAll(spark: SparkSession, allDocIds: DataFrame, edges: DataFrame,
+                maxIter: Int = 50): (DataFrame, Int) = {
+    val (assign, iters) = run(spark, edges, maxIter)
+    val out = allDocIds.select(col("doc_id"))
+      .join(assign, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    (out, iters)
+  }
+}

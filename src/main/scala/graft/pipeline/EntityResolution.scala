@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import graft.ckpt.Snapshots
+import graft.eval.Eval
+import graft.operators.{Blocking, ConnectedComponents, PairScoring}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end entity-resolution pipeline (north rule):
+  * blocking → batched pairwise scoring → transitive clustering, each stage
+  * committed as a resumable snapshot with per-partition lineage + counters.
+  *
+  * Reference lifecycle analogue: AMPI.main (SURVEY.md §3.1) — dimension
+  * broadcast, blocking flatMap, per-pair scoring, argmax + accuracy — with
+  * the driver-side collect() of the full AP dataset (AMPI.scala:209)
+  * replaced by distributed equi-joins on block keys.
+  */
+object EntityResolution {
+
+  final case class PipelineConfig(
+      numBands: Int = 16,
+      rowsPerBand: Int = 2,
+      maxBlockSize: Int = 1000,
+      scoreThreshold: Double = 0.60,
+      scoring: PairScoring.ScoreConfig = PairScoring.ScoreConfig(),
+      maxCcIter: Int = 50)
+
+  final case class Result(
+      assignments: DataFrame,
+      scoredPairs: DataFrame,
+      blocking: DataFrame,
+      ccIterations: Int,
+      counters: Map[String, Long])
+
+  /** Run the full pipeline. When `runDir` is given, each stage is committed
+    * as a snapshot and `resume=true` skips already-committed stages
+    * (byte-identical reuse — the resume gate of FIXTURES.md §6).
+    */
+  def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig = PipelineConfig(),
+          runDir: Option[String] = None, runId: String = "run0",
+          resume: Boolean = false): Result = {
+
+    def staged(stage: String, counters: => Map[String, Long])(compute: => DataFrame): (DataFrame, Map[String, Long]) =
+      runDir match {
+        case Some(dir) =>
+          val cached = if (resume) Snapshots.loadCommitted(spark, dir, stage) else None
+          cached match {
+            case Some(df) => (df, Map(s"${stage}_resumed" -> 1L))
+            case None =>
+              val df = compute
+              val c = counters
+              val committed = Snapshots.commit(spark, df, dir, stage, runId, c)
+              (spark.read.parquet(committed.path), c)
+          }
+        case None => (compute, counters)
+      }
+
+    // stage 1: blocking
+    var blockCounters = Map.empty[String, Long]
+    val (blocking, c1) = staged("blocking", blockCounters) {
+      val (b, c) = Blocking.block(docs, cfg.numBands, cfg.rowsPerBand, cfg.maxBlockSize)
+      blockCounters = c
+      b
+    }
+
+    // stage 2: scoring
+    var scoreCounters = Map.empty[String, Long]
+    val (scored, c2) = staged("scored_pairs", scoreCounters) {
+      val candidates = Blocking.candidatePairs(blocking)
+      val (idf, n) = PairScoring.mediaIdf(docs)
+      val idfBc = spark.sparkContext.broadcast(idf)
+      val defaultIdf = math.log1p(n.toDouble)
+      val s = PairScoring.score(spark, docs, candidates, idfBc, defaultIdf, cfg.scoring).toDF()
+      scoreCounters = Map("idf_dictionary_size" -> idf.size.toLong)
+      s
+    }
+
+    // stage 3: clustering
+    var ccIters = 0
+    var ccCounters = Map.empty[String, Long]
+    val (assignments, c3) = staged("cluster_assignments", ccCounters) {
+      val edges = scored
+        .where(col("score") >= cfg.scoreThreshold)
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      val (assign, iters) = ConnectedComponents.assignAll(
+        spark, docs.select(col("doc_id")), edges, cfg.maxCcIter)
+      ccIters = iters
+      ccCounters = Map("cc_iterations" -> iters.toLong)
+      assign
+    }
+
+    Result(assignments, scored, blocking, ccIters, c1 ++ c2 ++ c3)
+  }
+
+  /** Derive labeled pairs at shared blocking keys (FIXTURES.md §2):
+    * candidate pairs from the blocking output, labeled by gold entity
+    * equality — the evaluation universe of the F1 gate.
+    */
+  def labeledPairs(blocking: DataFrame, gold: DataFrame): DataFrame = {
+    val pairs = Blocking.candidatePairs(blocking)
+    val ga = gold.select(col("doc_id").as("doc_id_a"), col("entity_id").as("ea"))
+    val gb = gold.select(col("doc_id").as("doc_id_b"), col("entity_id").as("eb"))
+    pairs.join(ga, "doc_id_a").join(gb, "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"), col("block_key"),
+        (col("ea") === col("eb")).as("is_match"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** In-memory union-find oracle. */
+  private def ufComponents(nodes: Seq[String], edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    nodes.map(n => n -> find(n)).toMap.map { case (n, r0) =>
+      // canonical = min node of component
+      n -> r0
+    } match {
+      case m =>
+        val byRoot = m.groupBy(_._2).map { case (r, g) => r -> g.keys.min }
+        m.map { case (n, r) => n -> byRoot(r) }
+    }
+  }
+
+  private def runCC(nodes: Seq[String], edges: Seq[(String, String)]): Map[String, String] = {
+    val nodesDf = nodes.toDF("doc_id")
+    val edgesDf = edges.toDF("src", "dst")
+    val (assign, iters) = ConnectedComponents.assignAll(spark, nodesDf, edgesDf)
+    assert(iters < 50, "CC must converge")
+    assign.as[(String, String)].collect().toMap
+  }
+
+  test("path, star, two components, self-loop") {
+    val nodes = Seq("a", "b", "c", "d", "e", "f", "g")
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), // path
+      ("e", "f"), // pair
+      ("g", "g")) // self loop
+    val got = runCC(nodes, edges)
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "e", "f" -> "e", "g" -> "g"))
+  }
+
+  test("long chain (stress for iteration count, must be O(log n))") {
+    val n = 64
+    val nodes = (0 until n).map(i => f"n$i%03d")
+    val edges = (0 until n - 1).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+    val got = runCC(nodes, edges)
+    assert(got.values.toSet == Set("n000"))
+  }
+
+  test("random graphs match union-find oracle") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val n = 20 + rnd.nextInt(30)
+      val nodes = (0 until n).map(i => f"v$i%03d")
+      val m = rnd.nextInt(2 * n)
+      val edges = (0 until m).map(_ => (nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n))))
+      val got = runCC(nodes, edges)
+      val want = ufComponents(nodes, edges)
+      assert(got == want, s"trial $trial: n=$n m=$m")
+    }
+  }
+}
