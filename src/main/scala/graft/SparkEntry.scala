@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.Relational
+import graft.queries.{Corpus, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator claimed in SURVEY.md §2 has a `queries` entry; those with
@@ -31,6 +31,18 @@ object SparkEntry {
     "q16_day_overlap_pairs" -> Relational.q16_day_overlap_pairs _,
     "q17_hourly_vector" -> Relational.q17_hourly_vector _,
     "q18_blocked_pairs" -> Relational.q18_blocked_pairs _,
+    "q19_dedup_exact" -> Corpus.q19_dedup_exact _,
+    "q20_dedup_minhash_lsh" -> Corpus.q20_dedup_minhash_lsh _,
+    "q21_dedup_ngram_jaccard" -> Corpus.q21_dedup_ngram_jaccard _,
+    "q22_dedup_simhash" -> Corpus.q22_dedup_simhash _,
+    "q23_embed_cosine_topk" -> Corpus.q23_embed_cosine_topk _,
+    "q24_embed_neardup" -> Corpus.q24_embed_neardup _,
+    "q25_embed_ivf_topk" -> Corpus.q25_embed_ivf_topk _,
+    "q26_langid" -> Corpus.q26_langid _,
+    "q27_quality_score" -> Corpus.q27_quality_score _,
+    "q28_token_count" -> Corpus.q28_token_count _,
+    "q29_fingerprint" -> Corpus.q29_fingerprint _,
+    "q30_media_features" -> Corpus.q30_media_features _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -60,7 +72,8 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')""".stripMargin,
     "q05_anti_join" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01')""".stripMargin,
     "q06_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey,
@@ -141,5 +154,132 @@ object SparkEntry {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |  AND ABS(a.c_acctbal - b.c_acctbal) < 1.0
         |GROUP BY 1""".stripMargin,
+    "q19_dedup_exact" ->
+      """SELECT md5(text) AS content_key, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q20_dedup_minhash_lsh" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+        |    ELSE [array_to_string(t[i:i+1], ' ') for i in generate_series(1, len(t)-1)] END) AS sh
+        |  FROM d)
+        |SELECT doc_a, doc_b, jacc_milli FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(floor(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS jacc_milli
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |WHERE jacc_milli >= 500""".stripMargin,
+    "q21_dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |  list_distinct(list_filter(string_split(text,' '), x -> len(x)>0)) AS toks FROM documents)
+        |SELECT lang, doc_a, doc_b, jacc_milli FROM (
+        |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(floor(1000.0 * len(list_intersect(a.toks, b.toks)) / len(list_distinct(a.toks || b.toks))) AS BIGINT) AS jacc_milli
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jacc_milli >= 800""".stripMargin,
+    "q22_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x)>0)) AS tok FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, i.i AS i,
+        |    CAST(SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) i
+        |  GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT sh.doc_id, sh.simhash, b.bucket_size
+        |FROM sh JOIN (SELECT simhash, COUNT(*) AS bucket_size FROM sh GROUP BY 1) b USING (simhash)""".stripMargin,
+    "q23_embed_cosine_topk" ->
+      """WITH n AS (SELECT vec_id, q, CAST(list_sum([y*y for y in q]) AS BIGINT) AS n2 FROM (
+        |    SELECT vec_id, [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS q FROM embeddings)),
+        |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM n WHERE vec_id < 20),
+        |c AS (SELECT query_id, vec_id AS neighbor_id,
+        |    CAST(list_sum([n.q[i]*qq[i] for i in generate_series(1, len(n.q))]) AS DOUBLE)
+        |      / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cos
+        |  FROM n CROSS JOIN qs WHERE vec_id <> query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM c)
+        |WHERE rank <= 5""".stripMargin,
+    "q24_embed_neardup" ->
+      """WITH n AS (SELECT vec_id, q, CAST(list_sum([y*y for y in q]) AS BIGINT) AS n2 FROM (
+        |    SELECT vec_id, [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS q FROM embeddings))
+        |SELECT vec_a, vec_b, CAST(floor(cos * 1000) AS BIGINT) AS cos_milli FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(list_sum([a.q[i]*b.q[i] for i in generate_series(1, len(a.q))]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.35""".stripMargin,
+    "q25_embed_ivf_topk" ->
+      """WITH n AS (SELECT vec_id, q, CAST(list_sum([y*y for y in q]) AS BIGINT) AS n2 FROM (
+        |    SELECT vec_id, [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS q FROM embeddings)),
+        |cents AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8),
+        |ac AS (SELECT n.vec_id, cent_id,
+        |    CAST(list_sum([n.q[i]*cq[i] for i in generate_series(1, len(n.q))]) AS DOUBLE)
+        |      / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS ccos
+        |  FROM n CROSS JOIN cents),
+        |assigned AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cent_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM ac) WHERE rn = 1),
+        |na AS (SELECT n.vec_id, n.q, n.n2, a.cell FROM n JOIN assigned a USING (vec_id)),
+        |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2, cell FROM na WHERE vec_id < 20),
+        |c AS (SELECT query_id, na.vec_id AS neighbor_id,
+        |    CAST(list_sum([na.q[i]*qq[i] for i in generate_series(1, len(na.q))]) AS DOUBLE)
+        |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cos
+        |  FROM na JOIN qs USING (cell) WHERE na.vec_id <> query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM c)
+        |WHERE rank <= 3""".stripMargin,
+    "q26_langid" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) AS t FROM documents),
+        |p(lang, words) AS (VALUES
+        |  ('en', ['the','a','of','and','to','in','is']),
+        |  ('de', ['der','die','das','und','ist','ein']),
+        |  ('es', ['el','la','de','que','y','es']),
+        |  ('fr', ['le','la','de','et','un','est'])),
+        |sc AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(t, x -> list_contains(words, x))) AS BIGINT) AS score
+        |  FROM toks CROSS JOIN p),
+        |r AS (SELECT doc_id, lang, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc)
+        |SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang, score
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q27_quality_score" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+        |    CAST(list_sum([len(x) for x in t]) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop
+        |  FROM d)
+        |SELECT doc_id, n_tokens, n_types, n_stop,
+        |  CAST(floor(1000.0 * n_types / n_tokens) AS BIGINT) AS ttr_milli,
+        |  CAST(floor(1000.0 * sum_len / n_tokens) AS BIGINT) AS mean_len_milli,
+        |  CAST(floor(1000.0 * n_stop / n_tokens) AS BIGINT) AS stop_milli,
+        |  CASE WHEN n_tokens >= 50 AND floor(1000.0 * n_types / n_tokens) >= 300 THEN 'good'
+        |       WHEN n_tokens >= 20 THEN 'fair' ELSE 'poor' END AS quality
+        |FROM s""".stripMargin,
+    "q28_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> len(x)>0)) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "q29_fingerprint" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), [('0x' || substr(md5(x),1,15))::BIGINT for x in t]),
+        |    (h, x) -> (h * 1000003 + x) % 1000000007) AS BIGINT) AS fp
+        |FROM d""".stripMargin,
+    "q30_media_features" ->
+      """WITH m AS (SELECT doc_id,
+        |    1 + (('0x' || substr(md5(text),1,2))::BIGINT % 64) AS w,
+        |    1 + (('0x' || substr(md5(text),3,2))::BIGINT % 64) AS h,
+        |    1 + (('0x' || substr(md5(text),5,2))::BIGINT % 3) AS c
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(c AS BIGINT) AS channels, CAST((w+1)//2 AS BIGINT) AS resized_w,
+        |  CAST((h+1)//2 AS BIGINT) AS resized_h, CAST(16 AS BIGINT) AS n_bytes
+        |FROM m""".stripMargin,
   )
 }

@@ -1,0 +1,258 @@
+package graft.queries
+
+import graft.functions.CorpusExpr._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the `documents` and `embeddings`
+  * tables: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup), similarity search (brute-force cosine top-k
+  * + IVF), and text analysis (language-ID, quality scoring, token counting,
+  * fingerprinting). Every output column is a BIGINT/STRING or an
+  * IEEE-bit-stable double so the DuckDB oracle hash-matches (see
+  * CorpusExpr header for the determinism rules).
+  *
+  * Scale notes (the 100 TB story):
+  *  - exact dedup = one hash-partitioned aggregation on a 128-bit content
+  *    key — embarrassingly scalable;
+  *  - MinHash LSH turns the O(n²) near-dup search into an equi-join on
+  *    band keys (shuffle on key); only LSH candidates pay the exact-Jaccard
+  *    verification, and band keys are plain codegen'd expressions so the
+  *    whole stage is scan → project → explode → join;
+  *  - IVF search shuffles once on the cell id; brute-force top-k broadcasts
+  *    the (small) query set — the classic dim-broadcast pattern.
+  */
+object Corpus {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+
+  /** Exact deduplication: hash-groupBy on the md5 content key; keeper =
+    * min doc_id per group (deterministic representative).
+    */
+  def q19_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("content_key"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** MinHash+LSH near-duplicate pairs: word-2-shingles → 12 bands × 3
+    * minhash rows → band-key equi-join → exact Jaccard verification ≥ 0.5.
+    * Planted near-dups in the corpus sit at j ≥ 0.9 and background at
+    * j < 0.15, so band recall at the threshold is effectively 1
+    * (miss prob ≈ (1−0.9³)¹² ≈ 1e-7); the oracle brute-forces all pairs.
+    * Internal band hashes use xxhash64 (never oracle-facing).
+    */
+  def q20_dedup_minhash_lsh(spark: SparkSession, dir: String): DataFrame = {
+    val numBands = 12; val rowsPerBand = 3
+    val sh = docs(spark, dir).select(col("doc_id"),
+      shingles(tokens(col("text")), 2).as("sh"))
+    val bandKeys = (0 until numBands).map { b =>
+      val rows = (0 until rowsPerBand).map(r =>
+        array_min(transform(col("sh"), s => xxhash64(s, lit(b * rowsPerBand + r)))))
+      xxhash64(lit(b) +: rows: _*)
+    }
+    val withBands = sh.select(col("doc_id"), col("sh"),
+      explode(array(bandKeys: _*)).as("band"))
+    val a = withBands.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = withBands.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, "band")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccardMilli(col("sh_a"), col("sh_b")).as("jacc_milli"))
+      .where(col("jacc_milli") >= 500)
+      .distinct()
+  }
+
+  /** n-gram (token-unigram) Jaccard dedup within a (lang, source) block —
+    * the exact blocked variant: equi-join on the block key, pairwise exact
+    * Jaccard ≥ 0.8 (tiny shared vocabulary makes lower thresholds
+    * meaningless here).
+    */
+  def q21_dedup_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(tokens(col("text"))).as("toks"))
+    val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("lang", "source"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        jaccardMilli(col("toks_a"), col("toks_b")).as("jacc_milli"))
+      .where(col("jacc_milli") >= 800)
+  }
+
+  /** SimHash fingerprints: 16-bit simhash over md5 token hashes. Docs
+    * agreeing on the full simhash are near-dup candidates; output the
+    * fingerprint per doc plus its bucket size.
+    */
+  def q22_dedup_simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), simhash16(tokens(col("text"))).as("simhash"))
+    d.withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+  }
+
+  /** Brute-force cosine top-k: queries = vec_id < 20 (broadcast), exact
+    * integer-quantized cosine against all vectors, top-5 per query.
+    * The baseline ANN path; IVF below is the scale path.
+    */
+  def q23_embed_cosine_topk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    val queries = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", qcos(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank").cast("bigint").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with quantized cosine
+    * ≥ 0.35, emitted with the micro-scaled cosine floor (exact integer
+    * arithmetic end-to-end; cos itself is IEEE-stable, see CorpusExpr.qcos).
+    * At scale the same operator runs behind the IVF cell join (q25).
+    */
+  def q24_embed_neardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("nb"))
+    a.crossJoin(b)
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", qcos(qdot(col("qa"), col("qb")), col("na"), col("nb")))
+      .where(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), floor(col("cos") * 1000).cast("long").as("cos_milli"))
+  }
+
+  /** IVF (inverted-file) ANN: centroids = vectors with vec_id < 8
+    * (broadcast); every vector is assigned to its nearest centroid (argmax
+    * cosine, ties → smaller centroid id); each query (vec_id < 20) searches
+    * only its own cell — the single-probe scale path: one shuffle on
+    * cell_id instead of an all-pairs cross join.
+    */
+  def q25_embed_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("n2").as("cn2"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", qcos(qdot(col("q"), col("cq")), col("n2"), col("cn2")))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("q"), col("n2"), col("cent_id").as("cell"))
+    val queries = assigned.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"), col("cell"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(queries), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", qcos(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank").cast("bigint").as("rank"))
+  }
+
+  /** Language-ID by stopword-profile scoring: per-language marker lists;
+    * score = # tokens in the profile; prediction = argmax score with
+    * lexicographic tiebreak, 'und' when all scores are 0. (A deterministic
+    * n-gram-free heuristic — the synthetic corpus shares one vocabulary
+    * across langs, so this verifies the OPERATOR, not the labels.)
+    */
+  def q26_langid(spark: SparkSession, dir: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+      "es" -> Seq("el", "la", "de", "que", "y", "es"),
+      "fr" -> Seq("le", "la", "de", "et", "un", "est"))
+    val toks = tokens(col("text"))
+    val scores = profiles.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("long").as("score"),
+        lit(lang).as("lang"))
+    }
+    docs(spark, dir)
+      .withColumn("best", array_max(array(scores: _*)))
+      .select(col("doc_id"),
+        when(col("best.score") > 0, col("best.lang")).otherwise(lit("und")).as("pred_lang"),
+        col("best.score").as("score"))
+  }
+
+  /** Quality scoring: token count, type-token ratio, mean token length,
+    * stopword ratio — all milli-scaled exact-integer ratios — plus a
+    * quality bucket (the filter a 100 TB corpus pipeline would gate on).
+    */
+  def q27_quality_score(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val toks = tokens(col("text"))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        size(filter(toks, x => x.isin(stop.map(lit(_)): _*))).cast("long").as("n_stop"))
+      .withColumn("ttr_milli", floor(lit(1000.0) * col("n_types") / col("n_tokens")).cast("long"))
+      .withColumn("mean_len_milli", floor(lit(1000.0) * col("sum_len") / col("n_tokens")).cast("long"))
+      .withColumn("stop_milli", floor(lit(1000.0) * col("n_stop") / col("n_tokens")).cast("long"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 50 && col("ttr_milli") >= 300, lit("good"))
+          .when(col("n_tokens") >= 20, lit("fair"))
+          .otherwise(lit("poor")))
+      .drop("sum_len")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation) — the two token
+    * budgets a training pipeline tracks.
+    */
+  def q28_token_count(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("bpe_tokens"))
+
+  /** Document fingerprinting: order-sensitive rolling polynomial hash over
+    * the token-hash sequence (mod 1e9+7) — content-addressable id robust to
+    * whitespace-only changes, cheap to recompute incrementally.
+    */
+  def q29_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+
+  /** Multimodal column plumbing: a binary media payload (deterministic fake
+    * bytes = unhex(md5(text)); real image/audio decoders are not in this
+    * container) is pushed through a typed per-partition decode kernel —
+    * the exact batch shape a Pandas-UDF/mapInPandas decode stage has:
+    * (id, bytes) in, (id, width, height, channels, resized_w, resized_h,
+    * n_bytes) out. The "decode" derives metadata from the leading bytes;
+    * swap `decodeStub` for a real codec and nothing else changes.
+    */
+  def q30_media_features(spark: SparkSession, dir: String): DataFrame = {
+    val withBytes = docs(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("media_bytes"))
+    import spark.implicits._
+    // typed kernel over the binary column — the multimodal decode slot
+    val decoded = withBytes.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (w, h, c) = decodeStub(bytes)
+        (id, w.toLong, h.toLong, c.toLong, ((w + 1) / 2).toLong, ((h + 1) / 2).toLong, bytes.length.toLong)
+      }
+    }
+    decoded.toDF("doc_id", "width", "height", "channels", "resized_w", "resized_h", "n_bytes")
+  }
+
+  /** STUB decode: deterministic fake metadata from the payload's leading
+    * bytes (stands in for an image decoder unavailable in this container).
+    */
+  private def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
+    val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff; val b2 = bytes(2) & 0xff
+    (1 + (b0 % 64), 1 + (b1 % 64), 1 + (b2 % 3))
+  }
+}

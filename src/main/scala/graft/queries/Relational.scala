@@ -63,13 +63,17 @@ object Relational {
       .select(col("c_custkey"), col("c_mktsegment"))
   }
 
-  /** P5 (anti): customers with no orders at all — left_anti join
-    * (reference: AFCDataForMatch.scala:28-34).
+  /** P5 (anti): customers with no orders in H1 1995 — left_anti join
+    * (reference: AFCDataForMatch.scala:28-34). Date-restricted so the
+    * result is non-empty at every SF (every customer has SOME order).
     */
-  def q05_anti_join(spark: SparkSession, dir: String): DataFrame =
+  def q05_anti_join(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1995-04-01"))
     t(spark, dir, "customer")
-      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_nationkey").cast("bigint").as("c_nationkey"))
+  }
 
   /** A5: top-k per group via ranking window (reference: groupByKey +
     * sortBy.takeRight(k), Model.scala:536-539).
