@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Corpus, Relational}
+import graft.queries.{Corpus, Relational, Trajectory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator claimed in SURVEY.md §2 has a `queries` entry; those with
@@ -43,6 +43,12 @@ object SparkEntry {
     "q28_token_count" -> Corpus.q28_token_count _,
     "q29_fingerprint" -> Corpus.q29_fingerprint _,
     "q30_media_features" -> Corpus.q30_media_features _,
+    "q31_sessionize_dyngap" -> Trajectory.q31_sessionize_dyngap _,
+    "q32_subsequence_match" -> Trajectory.q32_subsequence_match _,
+    "q33_kde_patterns" -> Trajectory.q33_kde_patterns _,
+    "q34_haversine" -> Trajectory.q34_haversine _,
+    "q35_weighted_jaccard" -> Trajectory.q35_weighted_jaccard _,
+    "q36_er_cluster" -> Trajectory.q36_er_cluster _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -281,5 +287,53 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS channels, CAST((w+1)//2 AS BIGINT) AS resized_w,
         |  CAST((h+1)//2 AS BIGINT) AS resized_h, CAST(16 AS BIGINT) AS n_bytes
         |FROM m""".stripMargin,
+    "q31_sessionize_dyngap" ->
+      """WITH dim AS (SELECT event_type, CAST(600000 + 300000 * (length(event_type) % 4) AS BIGINT) AS thr_ms
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |g AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > thr_ms THEN 1 ELSE 0 END AS new_s
+        |  FROM events JOIN dim USING (event_type)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (SELECT user_id, event_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events, MIN(event_id) AS first_event
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q32_subsequence_match" ->
+      """WITH s AS (SELECT user_id, list(event_type ORDER BY ts ASC, event_id ASC) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+        |  list_reduce(list_prepend(0,
+        |      [CASE WHEN x='view' THEN 1 WHEN x='click' THEN 2 WHEN x='purchase' THEN 3 ELSE 0 END for x in seq]),
+        |    (i, c) -> CASE WHEN c = i + 1 THEN i + 1 ELSE i END) = 3 AS matched
+        |FROM s""".stripMargin,
+    "q34_haversine" ->
+      """WITH n AS (SELECT n_nationkey, (n_nationkey % 25) * 2.5 - 30.0 AS lat,
+        |    n_nationkey * 5.0 - 60.0 AS lon FROM nation)
+        |SELECT CAST(a.n_nationkey AS BIGINT) AS na, CAST(b.n_nationkey AS BIGINT) AS nb,
+        |  CAST(round(asin(sqrt(
+        |    pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        |    cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2)
+        |  )) * 2 * 6371.0 * 10) AS BIGINT) AS dist_dm
+        |FROM n a JOIN n b ON a.n_nationkey < b.n_nationkey""".stripMargin,
+    "q35_weighted_jaccard" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(list_distinct(list_filter(string_split(text,' '), x -> len(x)>0))) AS token
+        |  FROM documents),
+        |w AS (SELECT token, CAST(floor(1000000.0 / COUNT(DISTINCT doc_id)) AS BIGINT) AS w
+        |  FROM tok GROUP BY 1),
+        |tw AS (SELECT doc_id, source, tok.token, w.w FROM tok JOIN w ON tok.token = w.token),
+        |sums AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wsum FROM tw GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(SUM(a.w) AS BIGINT) AS inter
+        |  FROM tw a JOIN tw b ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, wj_milli FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(floor(1000.0 * inter / (sa.wsum + sb.wsum - inter)) AS BIGINT) AS wj_milli
+        |  FROM inter JOIN sums sa ON sa.doc_id = doc_a JOIN sums sb ON sb.doc_id = doc_b)
+        |WHERE wj_milli >= 500""".stripMargin,
   )
 }

@@ -51,42 +51,91 @@ object Blocking {
           sequence(lit(1), size(tokens) - lit(k - 1)),
           i => concat_ws(" ", slice(tokens, i, lit(k)))))
 
-  /** MinHash signature component i: min over shingles of xxhash64(s, i).
-    * xxhash64 with the band-row index as an extra column gives k
+  /** One-pass MinHash signature: k minhashes computed in a SINGLE
+    * traversal of the shingle array —
+    * `aggregate(sh, [MaxValue]*k, (acc, s) -> zip_with(acc, hashes(s), least))`.
+    * xxhash64(s, i) with the row index as an extra column gives k
     * independent hash families without leaving codegen.
+    *
+    * This shape matters: inlining `array_min(transform(sh, ...))` once per
+    * signature component re-evaluates the shingle expression k times per
+    * row (measured 60 ms/doc at k=36); the one-pass fold is ~1000× cheaper.
     */
-  private def minhash(sh: Column, i: Int): Column =
-    array_min(transform(sh, s => xxhash64(s, lit(i))))
+  def minhashSig(sh: Column, k: Int, seedOffset: Int): Column =
+    aggregate(sh, array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(seedOffset), lit(seedOffset + k - 1)), i => xxhash64(s, i)),
+        (x, y) => least(x, y)))
 
-  /** LSH band keys: numBands bands × rowsPerBand minhashes per band;
-    * band key = xxhash64 of the band's minhashes + band index, rendered
-    * as a compact string key.
+  /** LSH band keys from a precomputed signature COLUMN (pass a projected
+    * attribute, not the minhashSig expression, so the signature is
+    * evaluated once per row): band key = family + band index + xxhash64 of
+    * the band's signature slice.
+    */
+  def bandKeysFromSig(sig: Column, numBands: Int, rowsPerBand: Int, family: String): Column =
+    transform(sequence(lit(0), lit(numBands - 1)), b =>
+      concat(lit(family), b.cast("string"), lit(":"),
+        conv(xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b).cast("string"), 10, 16)))
+
+  /** Convenience single-expression band keys (small band counts only —
+    * prefer the staged minhashSig/bandKeysFromSig path used by block()).
     */
   def minhashBandKeys(tokens: Column, numBands: Int = 16, rowsPerBand: Int = 2,
                       shingleK: Int = 2, family: String = "mh", seedOffset: Int = 0): Column = {
     val sh = shingles(tokens, shingleK)
-    val bands = (0 until numBands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => minhash(sh, seedOffset + b * rowsPerBand + r))
-      concat(lit(s"$family$b:"), conv(xxhash64(lit(b) +: rows: _*).cast("string"), 10, 16))
-    }
+    val keys = bandKeysFromSig(minhashSig(sh, numBands * rowsPerBand, seedOffset),
+      numBands, rowsPerBand, family)
     // empty token list => no LSH keys (avoid a giant "empty" block)
-    when(size(tokens) === 0, array().cast("array<string>")).otherwise(array(bands: _*))
+    when(size(tokens) === 0, array().cast("array<string>")).otherwise(keys)
   }
 
   /** All blocking keys for a doc as one array column: sorted-neighborhood
-    * key + shingle-minhash bands (precision family) + token-set-minhash
-    * bands (recall family, robust to heavy per-token noise). The two LSH
+    * key + shingle-minhash bands (precision family) + optionally
+    * token-set-minhash bands (recall family, robust to heavy per-token
+    * noise — but a liability when the corpus shares a small vocabulary:
+    * token-SET similarity of unrelated docs is then high and the family
+    * floods the candidate join; set tokenBands=0 to disable). The two LSH
     * families use disjoint hash-seed ranges and key prefixes.
     */
-  def blockKeys(spans: Column, numBands: Int = 16, rowsPerBand: Int = 2): Column = {
+  def blockKeys(spans: Column, numBands: Int = 16, rowsPerBand: Int = 2,
+                tokenBands: Int = -1): Column = {
     val toks = textTokens(spans)
-    array_union(
-      array_union(
-        when(size(toks) === 0, array().cast("array<string>"))
-          .otherwise(array(snKey(toks))),
-        minhashBandKeys(toks, numBands, rowsPerBand, shingleK = 2, family = "mh")),
-      minhashBandKeys(toks, math.max(6, (numBands * 3) / 4), rowsPerBand,
-        shingleK = 1, family = "tk", seedOffset = 1000))
+    val tb = if (tokenBands < 0) math.max(6, (numBands * 3) / 4) else tokenBands
+    val base = array_union(
+      when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(array(snKey(toks))),
+      minhashBandKeys(toks, numBands, rowsPerBand, shingleK = 2, family = "mh"))
+    if (tb == 0) base
+    else array_union(base,
+      minhashBandKeys(toks, tb, rowsPerBand, shingleK = 1, family = "tk", seedOffset = 1000))
+  }
+
+  /** Staged per-doc block-key derivation: tokens → shingles → one-pass
+    * minhash signatures → band keys, each step a separate PROJECTION so
+    * every expensive expression is evaluated exactly once per row (Catalyst
+    * does not collapse projects when that would duplicate non-cheap
+    * expressions). Returns (block_key, doc_id) rows, pre-explode.
+    */
+  private def keyedDocs(docs: DataFrame, numBands: Int, rowsPerBand: Int,
+                        tokenBands: Int): DataFrame = {
+    val tb = if (tokenBands < 0) math.max(6, (numBands * 3) / 4) else tokenBands
+    val toked = docs.select(col("doc_id"), textTokens(col("spans")).as("toks"))
+    val shingled = toked.select(col("doc_id"), col("toks"), shingles(col("toks"), 2).as("sh"))
+    val sigCols = Seq(
+      minhashSig(col("sh"), numBands * rowsPerBand, 0).as("sig_mh")) ++
+      (if (tb > 0) Seq(minhashSig(array_distinct(col("toks")), tb * rowsPerBand, 1000).as("sig_tk"))
+       else Seq.empty)
+    val sigged = shingled.select(Seq(col("doc_id"), col("toks")) ++ sigCols: _*)
+    val lshKeys =
+      if (tb > 0)
+        concat(bandKeysFromSig(col("sig_mh"), numBands, rowsPerBand, "mh"),
+          bandKeysFromSig(col("sig_tk"), tb, rowsPerBand, "tk"))
+      else bandKeysFromSig(col("sig_mh"), numBands, rowsPerBand, "mh")
+    sigged.select(col("doc_id"),
+      explode(
+        when(size(col("toks")) === 0, array().cast("array<string>"))
+          .otherwise(array_union(array(snKey(col("toks"))), lshKeys))).as("block_key"))
   }
 
   /** Blocking stage: docs(doc_id, spans) → (block_key, doc_id), with hot
@@ -95,15 +144,17 @@ object Blocking {
     * Returns (blockingOutput, counters).
     */
   def block(docs: DataFrame, numBands: Int = 16, rowsPerBand: Int = 2,
-            maxBlockSize: Int = 1000): (DataFrame, Map[String, Long]) = {
-    val exploded = docs
-      .select(col("doc_id"), explode(blockKeys(col("spans"), numBands, rowsPerBand)).as("block_key"))
+            maxBlockSize: Int = 1000, tokenBands: Int = -1): (DataFrame, Map[String, Long]) = {
+    val exploded = keyedDocs(docs, numBands, rowsPerBand, tokenBands)
       .select(col("block_key"), col("doc_id"))
     // key-frequency stats → cap. The windowed count shuffles once on
     // block_key; the same shuffle partitioning is reused by the pair join.
+    // Persist: both the kept branch and the capped counter read it, and
+    // the candidate join downstream reuses the kept rows.
     val withCnt = exploded
       .withColumn("block_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("block_key"))))
+      .persist()
     val kept = withCnt.where(col("block_size") <= maxBlockSize).drop("block_size")
     val capped = withCnt.where(col("block_size") > maxBlockSize)
       .select(countDistinct(col("block_key")).as("k"))

@@ -21,6 +21,8 @@ object EntityResolution {
       numBands: Int = 16,
       rowsPerBand: Int = 2,
       maxBlockSize: Int = 1000,
+      /** token-set minhash bands; 0 disables the family, -1 = default */
+      tokenBands: Int = -1,
       scoreThreshold: Double = 0.60,
       scoring: PairScoring.ScoreConfig = PairScoring.ScoreConfig(),
       maxCcIter: Int = 50)
@@ -58,7 +60,7 @@ object EntityResolution {
     // stage 1: blocking
     var blockCounters = Map.empty[String, Long]
     val (blocking, c1) = staged("blocking", blockCounters) {
-      val (b, c) = Blocking.block(docs, cfg.numBands, cfg.rowsPerBand, cfg.maxBlockSize)
+      val (b, c) = Blocking.block(docs, cfg.numBands, cfg.rowsPerBand, cfg.maxBlockSize, cfg.tokenBands)
       blockCounters = c
       b
     }

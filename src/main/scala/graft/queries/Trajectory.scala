@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.functions.{CorpusExpr, Kernels}
+import graft.operators.PairScoring
+import graft.pipeline.EntityResolution
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trajectory/sequence operators — the reference's semantic-payload kernels
+  * (SURVEY.md §2.5/§2.6) re-expressed Spark-first over the `events` /
+  * `documents` / `nation` tables.
+  */
+object Trajectory {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** W3: sessionize with a DATA-DEPENDENT gap — the session-break threshold
+    * comes from a dimension lookup per event type (reference: gap vs
+    * ODinterval(prev,next) + bucketed extra, SplitAPData.scala:62-108).
+    * The dim is broadcast; the only shuffle is the per-user window sort.
+    */
+  def q31_sessionize_dyngap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val dim = ev.select("event_type").distinct()
+      .withColumn("thr_ms",
+        (lit(600000L) + lit(300000L) * pmod(length(col("event_type")), lit(4))).cast("long"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    ev.join(broadcast(dim), "event_type")
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > col("thr_ms"), 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+  }
+
+  /** W4: ordered-subsequence validation — does a user's full event-type
+    * sequence contain the funnel pattern view→click→purchase as an ordered
+    * subsequence (reference path-subsequence check, SplitAPData.scala:
+    * 110-136)? Pure columnar fold: collect_list → sort_array → aggregate.
+    */
+  def q32_subsequence_match(spark: SparkSession, dir: String): DataFrame = {
+    val code = (x: org.apache.spark.sql.Column) =>
+      when(x === "view", 1).when(x === "click", 2).when(x === "purchase", 3).otherwise(0)
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n_events"),
+        (aggregate(
+          transform(col("seq"), s => code(s.getField("event_type"))),
+          lit(0),
+          (i, c) => when(c === i + 1, i + 1).otherwise(i)) === 3).as("matched"))
+  }
+
+  /** W5: KDE peak-pick pattern mining — per-user gaussian kernel density
+    * over event times-of-day, centers by distance z-score (reference
+    * Model.scala:93-189) — a typed mapGroups kernel (O(n²) per user; n per
+    * user is small by construction). No SQL oracle (rows-only check);
+    * the pure kernel is unit-tested in KernelsSpec.
+    */
+  def q33_kde_patterns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .select(col("user_id"),
+        (hour(col("ts")) * 3600L + minute(col("ts")) * 60L + second(col("ts"))).as("sod"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val times = it.map(_._2.toDouble).toArray.sorted // sort: partition-order independent
+        val centers = Kernels.kdeCenters(times, h = 1800.0, zThreshold = 2.0)
+        val assigned = times.map(Kernels.assignToCenters(_, centers))
+        (uid, centers.length.toLong, assigned.count(_ > 0).toLong, times.length.toLong)
+      }
+      .toDF("user_id", "n_centers", "n_assigned", "n_events")
+  }
+
+  /** Scalar geo: haversine distances between synthetic nation coordinates
+    * (reference getDistance, SIG.scala:195-204) — decameter-rounded so
+    * sub-ulp libm differences between engines cannot flip the output.
+    */
+  def q34_haversine(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation").select(col("n_nationkey"),
+      (pmod(col("n_nationkey"), lit(25)) * 2.5 - 30.0).as("lat"),
+      (col("n_nationkey") * 5.0 - 60.0).as("lon"))
+    val a = n.select(col("n_nationkey").as("na"), col("lat").as("lat1"), col("lon").as("lon1"))
+    val b = n.select(col("n_nationkey").as("nb"), col("lat").as("lat2"), col("lon").as("lon2"))
+    val dLat = radians(col("lat2") - col("lat1"))
+    val dLon = radians(col("lon2") - col("lon1"))
+    val h = pow(sin(dLat / 2), 2) +
+      cos(radians(col("lat1"))) * cos(radians(col("lat2"))) * pow(sin(dLon / 2), 2)
+    val dist = asin(sqrt(h)) * 2 * 6371.0
+    a.crossJoin(b).where(col("na") < col("nb"))
+      .select(col("na").cast("bigint").as("na"), col("nb").cast("bigint").as("nb"),
+        round(dist * 10).cast("long").as("dist_dm"))
+  }
+
+  /** M6 analogue: weighted Jaccard with inverse-document-frequency weights
+    * (reference inverse-flow station weighting, SIG.scala:46-55) in its
+    * fully RELATIONAL form — explode → df-weight join → pair equi-join on
+    * (source, token) → exact integer sums. This is the formulation that
+    * scales: no per-pair array scans, one shuffle per aggregation, and the
+    * weights live in a table, not a driver map.
+    */
+  def q35_weighted_jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(CorpusExpr.tokens(col("text")))).as("token"))
+    val w = tok.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
+      .select("token", "w")
+    val tw = tok.join(broadcast(w), "token")
+    val sums = tw.groupBy(col("doc_id")).agg(sum(col("w")).as("wsum"))
+    val a = tw.select(col("source"), col("token"), col("doc_id").as("doc_a"), col("w"))
+    val b = tw.select(col("source"), col("token"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("source", "token"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("w")).as("inter"))
+    inter
+      .join(sums.select(col("doc_id").as("doc_a"), col("wsum").as("sum_a")), "doc_a")
+      .join(sums.select(col("doc_id").as("doc_b"), col("wsum").as("sum_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(1000.0) * col("inter") / (col("sum_a") + col("sum_b") - col("inter")))
+          .cast("long").as("wj_milli"))
+      .where(col("wj_milli") >= 500)
+  }
+
+  /** The flagship ER pipeline as a registered query: documents → interleaved
+    * span table (text tokens as text spans, source/lang as media spans) →
+    * blocking → scoring → connected components → cluster assignments.
+    * Rows-only driver check (clustering is not ANSI-SQL-expressible);
+    * the F1/cluster-equality gate runs in `sbt -batch test` + graft.Main.
+    */
+  def q36_er_cluster(spark: SparkSession, dir: String): DataFrame = {
+    val toks = CorpusExpr.tokens(col("text"))
+    val spans = transform(toks, (tk, i) =>
+      struct(lit("text").as("kind"), tk.as("text"), lit("").as("media_ref"),
+        i.cast("int").as("offset")))
+    val docsDf = t(spark, dir, "documents")
+      .select(format_string("d%09d", col("doc_id")).as("doc_id"), spans.as("spans"))
+      .cache()
+    // This corpus shares one small vocabulary across all docs, so (a) the
+    // token-SET minhash family would flood the candidate join (unigram
+    // Jaccard of unrelated docs is ~0.5) — disabled; (b) there is no media
+    // channel — text-only scoring. Planted near-dups sit at shingle-Jaccard
+    // ≥0.9 vs background <0.15, so 12×3 bands give recall ≈ 1.
+    val cfg = EntityResolution.PipelineConfig(
+      numBands = 12, rowsPerBand = 3, tokenBands = 0, scoreThreshold = 0.80,
+      scoring = PairScoring.ScoreConfig(gammaText = 1.0))
+    EntityResolution.run(spark, docsDf, cfg).assignments
+  }
+}

@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.functions.CorpusExpr
+import graft.operators.{Blocking, ConnectedComponents, PairScoring}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage timing for the ER-as-query path (not part of the library
+  * surface; kept for perf work).
+  */
+object TimeStages {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def tm[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"STAGE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val toks = CorpusExpr.tokens(col("text"))
+    val spans = transform(toks, (tk, i) =>
+      struct(lit("text").as("kind"), tk.as("text"), lit("").as("media_ref"), i.cast("int").as("offset")))
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(format_string("d%09d", col("doc_id")).as("doc_id"), spans.as("spans")).cache()
+    tm("materialize docs")(docsDf.count())
+    val (blocking, c) = tm("block build")(Blocking.block(docsDf, 12, 3, 1000, 0))
+    blocking.persist()
+    tm("block materialize")(println("  block rows=" + blocking.count() + " counters=" + c))
+    val cands = Blocking.candidatePairs(blocking).persist()
+    tm("candidates")(println("  cand pairs=" + cands.count()))
+    val (idf, n) = tm("mediaIdf")(PairScoring.mediaIdf(docsDf))
+    val idfBc = spark.sparkContext.broadcast(idf)
+    val scored = tm("score")({
+      val s = PairScoring.score(spark, docsDf, cands, idfBc, math.log1p(n.toDouble),
+        PairScoring.ScoreConfig(gammaText = 1.0)).toDF().persist()
+      println("  scored=" + s.count())
+      s
+    })
+    val edges = scored.where(col("score") >= 0.80)
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    tm("edges")(println("  edges=" + edges.count()))
+    val (assign, iters) = tm("cc")(ConnectedComponents.assignAll(spark, docsDf.select("doc_id"), edges))
+    tm("assign materialize")(println("  rows=" + assign.count() + " iters=" + iters))
+    spark.stop()
+  }
+}
