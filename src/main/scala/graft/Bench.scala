@@ -1,24 +1,84 @@
 package graft
+
+import graft.pipeline.EntityResolution
+import graft.synth.{DocGen, GenConfig}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line with per-query seconds
+  * over SPARK_GRAFT_SF_DIR, PLUS the north-rule scaling evidence — the ER
+  * pipeline end-to-end on an identical deterministic synthetic corpus at
+  * local[8] and local[32] (stand-in for N vs 4N executors; no real cluster
+  * in this sandbox), reporting docs/sec at both and the throughput scaling
+  * efficiency tp(4N) / (4 · tp(N)), target ≥ 0.8.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
+  * (default 32), SPARK_GRAFT_BENCH_ENTITIES (ER corpus size, default
+  * 20000 entities × 3 docs), SPARK_GRAFT_SKIP_SCALING=1 to skip the two
+  * ER runs.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(threads: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName(s"graft-bench-$threads")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** End-to-end ER wall time (synth + block + score + cluster + count). */
+  private def erRun(threads: Int, cfg: GenConfig): (Long, Double) = {
+    val spark = session(threads)
+    try {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val docs = DocGen.docs(spark, cfg).toDF().cache()
+      val res = EntityResolution.run(spark, docs)
+      val n = res.assignments.count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val entities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "20000").toInt
+    val skipScaling = sys.env.getOrElse("SPARK_GRAFT_SKIP_SCALING", "0") == "1"
+
+    // 1) headline queries at local[cpus]
+    val skipQueries = sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
+    val results: Map[String, Double] = if (skipQueries) Map.empty else {
+      val spark = session(cpus)
+      val r = SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
+      r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    // 2) ER scaling: identical corpus (seeded, partition-count-independent
+    //    generation) at local[8] then local[32]
+    val scaling = if (skipScaling) "" else {
+      val cfg = GenConfig(numEntities = entities, docsPerEntity = 3, seed = 42L)
+      val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+      val (n8, t8) = erRun(nSmall, cfg)
+      val (n32, t32) = erRun(nSmall * 4, cfg)
+      require(n8 == n32, s"non-deterministic corpus: $n8 != $n32")
+      val tp8 = n8 / t8
+      val tp32 = n32 / t32
+      val eff = tp32 / (4.0 * tp8)
+      s""","er_scaling":{"docs":$n8,"local8_sec":$t8,"local32_sec":$t32,""" +
+        s""""docs_per_sec_8":$tp8,"docs_per_sec_32":$tp32,"scaling_efficiency":$eff}"""
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
   }
 }

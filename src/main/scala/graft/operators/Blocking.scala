@@ -40,6 +40,22 @@ object Blocking {
   def snKey(tokens: Column, headTokens: Int = 2, prefixLen: Int = 10): Column =
     concat(lit("sn:"), substring(concat_ws("", slice(tokens, 1, headTokens)), 1, prefixLen))
 
+  /** Typo-robust sorted-neighborhood keys: one key per head token position
+    * (sn1 = prefix of token 1, sn2 = prefix of token 2). A typo in either
+    * head token still leaves the OTHER key shared, so recall survives
+    * single-head-token corruption (the failure mode of the concatenated
+    * key); a pair must lose both heads AND all minhash bands to be missed.
+    */
+  def snKeys(tokens: Column, prefixLen: Int = 8): Column = {
+    val k1 = when(size(tokens) >= 1,
+      array(concat(lit("sn1:"), substring(element_at(tokens, 1), 1, prefixLen))))
+      .otherwise(array().cast("array<string>"))
+    val k2 = when(size(tokens) >= 2,
+      array(concat(lit("sn2:"), substring(element_at(tokens, 2), 1, prefixLen))))
+      .otherwise(array().cast("array<string>"))
+    concat(k1, k2)
+  }
+
   /** Token k-shingles joined by space:
     * transform(sequence(1, n-k+1), i -> concat_ws(' ', slice(tokens,i,k))).
     * Short sequences yield one whole-sequence shingle.
@@ -117,25 +133,39 @@ object Blocking {
     * does not collapse projects when that would duplicate non-cheap
     * expressions). Returns (block_key, doc_id) rows, pre-explode.
     */
-  private def keyedDocs(docs: DataFrame, numBands: Int, rowsPerBand: Int,
+  private[graft] def keyedDocs(docs: DataFrame, numBands: Int, rowsPerBand: Int,
                         tokenBands: Int): DataFrame = {
     val tb = if (tokenBands < 0) math.max(6, (numBands * 3) / 4) else tokenBands
-    val toked = docs.select(col("doc_id"), textTokens(col("spans")).as("toks"))
-    val shingled = toked.select(col("doc_id"), col("toks"), shingles(col("toks"), 2).as("sh"))
+    // token-SET similarity of unrelated docs is much higher than their
+    // shingle similarity (word order ignored), so the recall family uses
+    // bands twice as deep to keep its false-candidate rate comparable
+    val tkRows = rowsPerBand * 2
+    // media-ref block keys: one per distinct media token — entity-device
+    // co-occurrence is a recall channel orthogonal to text noise (reference
+    // analogue: SIG station co-occurrence, SIG.scala:82-87); hot shared
+    // tokens produce oversized blocks that the block-size cap removes
+    val toked = docs.select(col("doc_id"), textTokens(col("spans")).as("toks"),
+      transform(mediaTokens(col("spans")), t => concat(lit("md:"), t)).as("md"))
+    val shingled = toked.select(col("doc_id"), col("toks"), col("md"),
+      shingles(col("toks"), 2).as("sh"))
     val sigCols = Seq(
       minhashSig(col("sh"), numBands * rowsPerBand, 0).as("sig_mh")) ++
-      (if (tb > 0) Seq(minhashSig(array_distinct(col("toks")), tb * rowsPerBand, 1000).as("sig_tk"))
+      (if (tb > 0) Seq(minhashSig(array_distinct(col("toks")), tb * tkRows, 1000).as("sig_tk"))
        else Seq.empty)
-    val sigged = shingled.select(Seq(col("doc_id"), col("toks")) ++ sigCols: _*)
+    val sigged = shingled.select(Seq(col("doc_id"), col("toks"), col("md")) ++ sigCols: _*)
     val lshKeys =
       if (tb > 0)
         concat(bandKeysFromSig(col("sig_mh"), numBands, rowsPerBand, "mh"),
-          bandKeysFromSig(col("sig_tk"), tb, rowsPerBand, "tk"))
+          bandKeysFromSig(col("sig_tk"), tb, tkRows, "tk"))
       else bandKeysFromSig(col("sig_mh"), numBands, rowsPerBand, "mh")
     sigged.select(col("doc_id"),
       explode(
-        when(size(col("toks")) === 0, array().cast("array<string>"))
-          .otherwise(array_union(array(snKey(col("toks"))), lshKeys))).as("block_key"))
+        when(size(col("toks")) === 0 && size(col("md")) === 0, array().cast("array<string>"))
+          .otherwise(array_union(
+            when(size(col("toks")) === 0, col("md"))
+              .otherwise(array_union(array_union(snKeys(col("toks")), lshKeys), col("md"))),
+            array().cast("array<string>"))))
+        .as("block_key"))
   }
 
   /** Blocking stage: docs(doc_id, spans) → (block_key, doc_id), with hot
@@ -143,8 +173,8 @@ object Blocking {
     * MacCompression.scala:25 "filter oversized keys to avoid skew").
     * Returns (blockingOutput, counters).
     */
-  def block(docs: DataFrame, numBands: Int = 16, rowsPerBand: Int = 2,
-            maxBlockSize: Int = 1000, tokenBands: Int = -1): (DataFrame, Map[String, Long]) = {
+  def block(docs: DataFrame, numBands: Int = 16, rowsPerBand: Int = 3,
+            maxBlockSize: Int = 64, tokenBands: Int = 0): (DataFrame, Map[String, Long]) = {
     val exploded = keyedDocs(docs, numBands, rowsPerBand, tokenBands)
       .select(col("block_key"), col("doc_id"))
     // key-frequency stats → cap. The windowed count shuffles once on

@@ -60,25 +60,35 @@ object ConnectedComponents {
       .where(col("src") =!= col("dst"))
       .distinct()
 
+  /** Order-insensitive edge-set signature: (count, xor of row hashes) —
+    * xor never overflows and the edge set is distinct, so duplicates can't
+    * cancel. One aggregate job replaces the count + exceptAll convergence
+    * test; a collision would only end the loop one iteration early with
+    * probability ~2^-64 per iteration — and the loop only stops at a TRUE
+    * fixpoint in the non-collision case, so results stay exact.
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.select(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
   def run(spark: SparkSession, edges0: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     // loop state keeps smallStar's (node → smaller) orientation; the
-    // canonical (lo,hi) form is used only for the convergence test
-    var edges = canonical(edges0).localCheckpoint()
-    var prevCanon = edges
+    // canonical (lo,hi) form is used only for the convergence signature
+    var edges = canonical(edges0).localCheckpoint(false)
+    var prevSig = signature(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val ss = smallStar(largeStar(edges)).localCheckpoint()
-      val nextCanon = canonical(ss).localCheckpoint()
-      val prevC = prevCanon.count()
-      val nextC = nextCanon.count()
-      val diff =
-        if (prevC != nextC) 1L
-        else nextCanon.exceptAll(prevCanon).count()
+      val ss = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nextSig = signature(canonical(ss))
       edges = ss
-      prevCanon = nextCanon
       iter += 1
-      converged = diff == 0L
+      converged = nextSig == prevSig
+      prevSig = nextSig
     }
     // at fixpoint every edge is (node, componentMin) with node > min;
     // component mins themselves map to themselves

@@ -8,13 +8,20 @@ import org.apache.spark.sql.functions._
 
 /** Batched pairwise scoring within blocks (north rule: "Jaro-Winkler/
   * Levenshtein on span text plus media_ref overlap via weighted Jaccard,
-  * vectorized through typed Dataset mapPartitions with broadcast of
-  * per-block dictionaries").
+  * vectorized through typed Dataset mapPartitions").
   *
   * Reference analogue: the per-pair merge-scan scorer of AMPI.scala:226-293
   * with its two evidence channels ol_1 (time coverage) / ol_2 (flow ratio)
   * blended under threshold rules (AMPI.scala:385-392), and SIG's
   * inverse-flow weighting of co-occurrence evidence (SIG.scala:46-55).
+  *
+  * The idf weights ride WITH the data as per-doc (token, weight) arrays
+  * computed by a distributed aggregation — at 10¹² docs the media
+  * vocabulary is far too large for any driver-side dictionary, so the
+  * only driver artifact is the scalar corpus size. (The reference instead
+  * collects whole dimension tables to the driver, AMPI.scala:20-66 — the
+  * anti-pattern this engine exists to remove. A broadcast dictionary
+  * variant is still available for genuinely small vocabularies.)
   */
 object PairScoring {
 
@@ -25,15 +32,17 @@ object PairScoring {
         * conflict-rejection analogue (AMPI.scala:280,293) */
       conflictTextFloor: Double = 0.15,
       /** max text tokens fed to the O(L^2) Levenshtein kernel */
-      maxTokens: Int = 64)
+      maxTokens: Int = 64,
+      /** blend the media channel only when BOTH sides carry at least this
+        * many media tokens — the conditional-blend analogue of
+        * AMPI.scala:385-392 (ol_2 used only when consistent with ol_1):
+        * a doc that lost its media spans must not have its perfect text
+        * match dragged below threshold by an empty channel */
+      minMediaEvidence: Int = 2)
 
-  /** Inverse-document-frequency weights for media_ref tokens.
-    * weight(t) = ln(1 + N/df(t)) — hot shared tokens (the Zipf head)
-    * contribute almost nothing; distinctive device tokens dominate.
-    *
-    * The returned map is bounded by the media vocabulary; at extreme scale
-    * the same computation is done per-block (dictionary of only the block's
-    * tokens) — the API takes any Map so either feeding works.
+  /** Inverse-document-frequency weights for media_ref tokens as a
+    * DRIVER-side map — only for genuinely small vocabularies (tests,
+    * per-block dictionaries). weight(t) = ln(1 + N/df(t)).
     */
   def mediaIdf(docs: DataFrame, minDf: Long = 1): (Map[String, Double], Long) = {
     val n = docs.count()
@@ -47,26 +56,120 @@ object PairScoring {
     (dfMap, n)
   }
 
-  /** Pure per-pair kernel, unit-testable off-Spark. */
-  def scorePair(
-      textA: Seq[String], mediaA: Seq[String],
-      textB: Seq[String], mediaB: Seq[String],
-      idf: String => Double, cfg: ScoreConfig): (Double, Double, Double) = {
+  /** Per-doc media features with idf weights computed DISTRIBUTEDLY:
+    * explode media tokens → df counts (one hash aggregation) → join back →
+    * re-aggregate to per-doc sorted (token, weight) arrays. No driver
+    * dictionary at any scale; sort_array makes downstream double-summation
+    * order deterministic across runs/partitionings.
+    * Returns (doc_id, m_toks: array<string>, m_ws: array<double>).
+    */
+  def mediaFeatures(docs: DataFrame, nDocs: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(Blocking.mediaTokens(col("spans"))).as("tok"))
+    // mediaTokens is distinct per doc => count(*) per token == document freq
+    val w = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .select(col("tok"), log1p(lit(nDocs.toDouble) / col("df")).as("w"))
+    toks.join(w, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("tok"), col("w")))).as("mw"))
+      .select(col("doc_id"),
+        transform(col("mw"), x => x.getField("tok")).as("m_toks"),
+        transform(col("mw"), x => x.getField("w")).as("m_ws"))
+  }
+
+  /** Weighted Jaccard from aligned (token, weight) arrays; both sides carry
+    * the same global weight for the same token, so
+    * inter = Σ_{A∩B} w and union = Σ_A w + Σ_B w − inter.
+    */
+  def weightedJaccardArrays(
+      ta: Seq[String], wa: Seq[Double],
+      tb: Seq[String], wb: Seq[Double]): Double = {
+    if (ta.isEmpty && tb.isEmpty) return 0.0
+    val bset = tb.toSet
+    var inter = 0.0
+    var sa = 0.0
+    var i = 0
+    while (i < ta.length) {
+      sa += wa(i)
+      if (bset.contains(ta(i))) inter += wa(i)
+      i += 1
+    }
+    var sb = 0.0
+    var j = 0
+    while (j < wb.length) { sb += wb(j); j += 1 }
+    val uni = sa + sb - inter
+    if (uni <= 0.0) 0.0 else inter / uni
+  }
+
+  /** Pure per-pair kernel (array-weights form), unit-testable off-Spark. */
+  def scorePairArrays(
+      textA: Seq[String], mToksA: Seq[String], mWsA: Seq[Double],
+      textB: Seq[String], mToksB: Seq[String], mWsB: Seq[Double],
+      cfg: ScoreConfig): (Double, Double, Double) = {
     val ja = textA.take(cfg.maxTokens).mkString(" ")
     val jb = textB.take(cfg.maxTokens).mkString(" ")
     val simText = 0.5 * TextSim.jaroWinkler(ja, jb) + 0.5 * TextSim.levenshteinRatio(ja, jb)
-    val simMedia = TextSim.weightedJaccard(mediaA.toSet, mediaB.toSet, idf)
+    val simMedia = weightedJaccardArrays(mToksA, mWsA, mToksB, mWsB)
+    val mediaUsable = math.min(mToksA.size, mToksB.size) >= cfg.minMediaEvidence
     val score =
       if (simText < cfg.conflictTextFloor) 0.0
+      else if (!mediaUsable) simText
       else cfg.gammaText * simText + (1.0 - cfg.gammaText) * simMedia
     (simText, simMedia, score)
   }
 
-  /** Score all candidate pairs. Joins candidates to the docs' precomputed
-    * token arrays (columnar, codegen'd), then runs the typed kernel per
-    * partition with the broadcast idf dictionary.
+  /** Pure per-pair kernel (dictionary form — small-vocabulary path). */
+  def scorePair(
+      textA: Seq[String], mediaA: Seq[String],
+      textB: Seq[String], mediaB: Seq[String],
+      idf: String => Double, cfg: ScoreConfig): (Double, Double, Double) = {
+    val (sa, sb) = (mediaA.map(idf), mediaB.map(idf))
+    scorePairArrays(textA, mediaA, sa, textB, mediaB, sb, cfg)
+  }
+
+  /** Score all candidate pairs. Joins candidates to per-doc precomputed
+    * token + weighted-media arrays (columnar, codegen'd), then runs the
+    * typed kernel per partition. `nDocs` feeds the idf formula; pass the
+    * cached docs count so no extra job runs here.
     */
   def score(
+      spark: SparkSession,
+      docs: DataFrame,
+      candidates: DataFrame,
+      nDocs: Long,
+      cfg: ScoreConfig = ScoreConfig()): Dataset[ScoredPair] = {
+    import spark.implicits._
+    // columnar feature extraction once per doc (not per pair)
+    val media = mediaFeatures(docs, nDocs)
+    val feats = docs.select(
+      col("doc_id"),
+      Blocking.textTokens(col("spans")).as("toks"))
+      .join(media, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("m_toks"), array().cast("array<string>")).as("m_toks"),
+        coalesce(col("m_ws"), array().cast("array<double>")).as("m_ws"))
+    val fa = feats.select(col("doc_id").as("doc_id_a"), col("toks").as("toks_a"),
+      col("m_toks").as("mt_a"), col("m_ws").as("mw_a"))
+    val fb = feats.select(col("doc_id").as("doc_id_b"), col("toks").as("toks_b"),
+      col("m_toks").as("mt_b"), col("m_ws").as("mw_b"))
+    val joined = candidates
+      .join(fa, "doc_id_a")
+      .join(fb, "doc_id_b")
+      .select("doc_id_a", "doc_id_b", "block_key",
+        "toks_a", "mt_a", "mw_a", "toks_b", "mt_b", "mw_b")
+      .as[(String, String, String, Seq[String], Seq[String], Seq[Double],
+           Seq[String], Seq[String], Seq[Double])]
+    joined.mapPartitions { it =>
+      it.map { case (a, b, bk, ta, mta, mwa, tb, mtb, mwb) =>
+        val (st, sm, sc) = scorePairArrays(ta, mta, mwa, tb, mtb, mwb, cfg)
+        ScoredPair(a, b, bk, st, sm, sc)
+      }
+    }
+  }
+
+  /** Broadcast-dictionary scoring variant (small vocabularies / per-block
+    * dictionaries): same kernel, weights looked up in a broadcast map.
+    */
+  def scoreWithDictionary(
       spark: SparkSession,
       docs: DataFrame,
       candidates: DataFrame,
@@ -74,7 +177,6 @@ object PairScoring {
       defaultIdf: Double,
       cfg: ScoreConfig = ScoreConfig()): Dataset[ScoredPair] = {
     import spark.implicits._
-    // columnar feature extraction once per doc (not per pair)
     val feats = docs.select(
       col("doc_id"),
       Blocking.textTokens(col("spans")).as("toks"),

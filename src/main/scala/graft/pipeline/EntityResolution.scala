@@ -19,10 +19,10 @@ object EntityResolution {
 
   final case class PipelineConfig(
       numBands: Int = 16,
-      rowsPerBand: Int = 2,
-      maxBlockSize: Int = 1000,
+      rowsPerBand: Int = 3,
+      maxBlockSize: Int = 64,
       /** token-set minhash bands; 0 disables the family, -1 = default */
-      tokenBands: Int = -1,
+      tokenBands: Int = 0,
       scoreThreshold: Double = 0.60,
       scoring: PairScoring.ScoreConfig = PairScoring.ScoreConfig(),
       maxCcIter: Int = 50)
@@ -65,15 +65,14 @@ object EntityResolution {
       b
     }
 
-    // stage 2: scoring
+    // stage 2: scoring — idf weights computed distributedly and joined in
+    // as per-doc arrays (no driver dictionary at any corpus size)
     var scoreCounters = Map.empty[String, Long]
     val (scored, c2) = staged("scored_pairs", scoreCounters) {
       val candidates = Blocking.candidatePairs(blocking)
-      val (idf, n) = PairScoring.mediaIdf(docs)
-      val idfBc = spark.sparkContext.broadcast(idf)
-      val defaultIdf = math.log1p(n.toDouble)
-      val s = PairScoring.score(spark, docs, candidates, idfBc, defaultIdf, cfg.scoring).toDF()
-      scoreCounters = Map("idf_dictionary_size" -> idf.size.toLong)
+      val nDocs = docs.count()
+      val s = PairScoring.score(spark, docs, candidates, nDocs, cfg.scoring).toDF()
+      scoreCounters = Map("docs_scored_against" -> nDocs)
       s
     }
 

@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
 object TimeStages {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val threads = if (args.length > 1) args(1).toInt else 8
+    val spark = SparkSession.builder().master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads * 2)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def tm[T](name: String)(f: => T): T = {
@@ -22,23 +26,29 @@ object TimeStages {
     val toks = CorpusExpr.tokens(col("text"))
     val spans = transform(toks, (tk, i) =>
       struct(lit("text").as("kind"), tk.as("text"), lit("").as("media_ref"), i.cast("int").as("offset")))
-    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
-      .select(format_string("d%09d", col("doc_id")).as("doc_id"), spans.as("spans")).cache()
+    val docsDf = (if (dir.startsWith("synth:")) {
+      val n = dir.stripPrefix("synth:").toInt
+      graft.synth.DocGen.docs(spark, graft.synth.GenConfig(numEntities = n, docsPerEntity = 3)).toDF()
+    } else spark.read.parquet(s"$dir/documents.parquet")
+      .select(format_string("d%09d", col("doc_id")).as("doc_id"), spans.as("spans"))).cache()
+    val synth = dir.startsWith("synth:")
     tm("materialize docs")(docsDf.count())
-    val (blocking, c) = tm("block build")(Blocking.block(docsDf, 12, 3, 1000, 0))
+    tm("keyedDocs only")(println("  keyed rows=" +
+      Blocking.keyedDocs(docsDf, 16, 3, 0).count()))
+    val (blocking, c) = tm("block build")(
+      if (synth) Blocking.block(docsDf) else Blocking.block(docsDf, 12, 3, 1000, 0))
     blocking.persist()
     tm("block materialize")(println("  block rows=" + blocking.count() + " counters=" + c))
     val cands = Blocking.candidatePairs(blocking).persist()
     tm("candidates")(println("  cand pairs=" + cands.count()))
-    val (idf, n) = tm("mediaIdf")(PairScoring.mediaIdf(docsDf))
-    val idfBc = spark.sparkContext.broadcast(idf)
+    val nDocs = docsDf.count()
     val scored = tm("score")({
-      val s = PairScoring.score(spark, docsDf, cands, idfBc, math.log1p(n.toDouble),
-        PairScoring.ScoreConfig(gammaText = 1.0)).toDF().persist()
+      val s = PairScoring.score(spark, docsDf, cands, nDocs,
+        if (synth) PairScoring.ScoreConfig() else PairScoring.ScoreConfig(gammaText = 1.0)).toDF().persist()
       println("  scored=" + s.count())
       s
     })
-    val edges = scored.where(col("score") >= 0.80)
+    val edges = scored.where(col("score") >= (if (synth) 0.60 else 0.80))
       .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
     tm("edges")(println("  edges=" + edges.count()))
     val (assign, iters) = tm("cc")(ConnectedComponents.assignAll(spark, docsDf.select("doc_id"), edges))
