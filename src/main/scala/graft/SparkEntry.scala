@@ -49,6 +49,9 @@ object SparkEntry {
     "q34_haversine" -> Trajectory.q34_haversine _,
     "q35_weighted_jaccard" -> Trajectory.q35_weighted_jaccard _,
     "q36_er_cluster" -> Trajectory.q36_er_cluster _,
+    "q37_collision_scan" -> Trajectory.q37_collision_scan _,
+    "q38_hash_sample" -> Trajectory.q38_hash_sample _,
+    "q39_jw_similarity" -> Trajectory.q39_jw_similarity _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -335,5 +338,14 @@ object SparkEntry {
         |    CAST(floor(1000.0 * inter / (sa.wsum + sb.wsum - inter)) AS BIGINT) AS wj_milli
         |  FROM inter JOIN sums sa ON sa.doc_id = doc_a JOIN sums sb ON sb.doc_id = doc_b)
         |WHERE wj_milli >= 500""".stripMargin,
+    "q37_collision_scan" ->
+      """SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS n_collisions
+        |FROM events a JOIN events b
+        |  ON a.event_type = b.event_type AND a.user_id < b.user_id
+        |  AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 300000
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+    "q38_hash_sample" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT % 10 = 0""".stripMargin,
   )
 }

@@ -135,6 +135,7 @@ object Blocking {
     */
   private[graft] def keyedDocs(docs: DataFrame, numBands: Int, rowsPerBand: Int,
                         tokenBands: Int): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession) // minhash_sig used below
     val tb = if (tokenBands < 0) math.max(6, (numBands * 3) / 4) else tokenBands
     // token-SET similarity of unrelated docs is much higher than their
     // shingle similarity (word order ignored), so the recall family uses
@@ -149,8 +150,8 @@ object Blocking {
     val shingled = toked.select(col("doc_id"), col("toks"), col("md"),
       shingles(col("toks"), 2).as("sh"))
     val sigCols = Seq(
-      minhashSig(col("sh"), numBands * rowsPerBand, 0).as("sig_mh")) ++
-      (if (tb > 0) Seq(minhashSig(array_distinct(col("toks")), tb * tkRows, 1000).as("sig_tk"))
+      graft.functions.MinhashSigExpression.minhashSigNative(col("sh"), numBands * rowsPerBand, 0).as("sig_mh")) ++
+      (if (tb > 0) Seq(graft.functions.MinhashSigExpression.minhashSigNative(array_distinct(col("toks")), tb * tkRows, 1000).as("sig_tk"))
        else Seq.empty)
     val sigged = shingled.select(Seq(col("doc_id"), col("toks"), col("md")) ++ sigCols: _*)
     val lshKeys =
@@ -177,18 +178,15 @@ object Blocking {
             maxBlockSize: Int = 64, tokenBands: Int = 0): (DataFrame, Map[String, Long]) = {
     val exploded = keyedDocs(docs, numBands, rowsPerBand, tokenBands)
       .select(col("block_key"), col("doc_id"))
-    // key-frequency stats → cap. The windowed count shuffles once on
-    // block_key; the same shuffle partitioning is reused by the pair join.
-    // Persist: both the kept branch and the capped counter read it, and
-    // the candidate join downstream reuses the kept rows.
-    val withCnt = exploded
-      .withColumn("block_size", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("block_key"))))
       .persist()
-    val kept = withCnt.where(col("block_size") <= maxBlockSize).drop("block_size")
-    val capped = withCnt.where(col("block_size") > maxBlockSize)
-      .select(countDistinct(col("block_key")).as("k"))
-      .collect()(0).getLong(0)
+    // key-frequency stats → cap, via hash aggregation + equi-join: the
+    // partial (map-side) aggregation shrinks 14M key rows to ~#distinct
+    // keys before the shuffle, and the join avoids the full sort a
+    // count-over-window would pay on the exploded rows.
+    val sizes = exploded.groupBy("block_key").agg(count(lit(1)).as("block_size"))
+    val kept = exploded.join(
+      sizes.where(col("block_size") <= maxBlockSize).select("block_key"), "block_key")
+    val capped = sizes.where(col("block_size") > maxBlockSize).count()
     (kept, Map("capped_block_keys" -> capped))
   }
 

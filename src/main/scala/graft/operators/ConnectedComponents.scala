@@ -25,6 +25,8 @@ object ConnectedComponents {
   private[operators] def largeStar(edges: DataFrame): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // no trailing distinct: the consumer (smallStar's collect_set) dedups,
+    // saving one shuffle per iteration
     bidir.groupBy(col("src").as("u"))
       .agg(least(min(col("dst")), first(col("src"))).as("m"),
            collect_set(col("dst")).as("nbrs"))
@@ -32,7 +34,6 @@ object ConnectedComponents {
       .where(col("v") > col("u"))
       .select(col("v").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** One small-star step: among edges oriented high→low, connect all of

@@ -130,6 +130,62 @@ object Trajectory {
       .where(col("wj_milli") >= 500)
   }
 
+  /** J4/M8: time-collision counting between users — the reference's sorted
+    * merge-scan interval alignment (AMPI.scala:240-279) / collision matcher
+    * (CollisionStatistics.scala:83-105), re-expressed as the SCALABLE
+    * range-join pattern: bucket timestamps to the tolerance width, explode
+    * one side to adjacent buckets (so any |Δt| ≤ tol pair shares a bucket
+    * exactly once), equi-join on (event_type, bucket), filter exactly.
+    * No O(n²) per-pair scan, no driver collect; the only shuffle is the
+    * bucket-key join.
+    */
+  def q37_collision_scan(spark: SparkSession, dir: String): DataFrame = {
+    val tol = 300000L // ±300 s
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      .withColumn("bucket", floor(col("ms") / tol))
+    val a = ev.select(col("user_id").as("ua"), col("event_type"), col("ms").as("ms_a"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val b = ev.select(col("user_id").as("ub"), col("event_type"), col("ms").as("ms_b"), col("bucket"))
+    a.join(b, Seq("event_type", "bucket"))
+      .where(col("ua") < col("ub") && abs(col("ms_a") - col("ms_b")) <= tol)
+      .groupBy("ua", "ub")
+      .agg(count(lit(1)).as("n_collisions"))
+      .where(col("n_collisions") >= 3)
+  }
+
+  /** Deterministic content-hash "sampling": keep keys whose md5-derived
+    * 60-bit hash ≡ 0 (mod 10) — a reproducible 10% sample. The reference
+    * samples with unseeded Random.shuffle (SamplingAFCData.scala:34),
+    * which is non-reproducible; hash-sampling gives the same subset on
+    * every run, every partitioning, and every engine.
+    */
+  def q38_hash_sample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .where(pmod(CorpusExpr.tokHash60(col("o_orderkey").cast("string")), lit(10L)) === 0L)
+      .select(col("o_orderkey"), col("o_custkey"))
+
+  /** Native Catalyst expression in action: Jaro-Winkler similarity (codegen
+    * via JaroWinklerExpression, registered as SQL `jaro_winkler` by
+    * GraftExtensions) over same-(lang,source)-block document pairs.
+    * Rows-only driver check: engines disagree on JW tie-breaking details,
+    * so cross-engine value equality is not guaranteed; JW semantics are
+    * unit-tested in TextSimSpec instead.
+    */
+  def q39_jw_similarity(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), substring(col("text"), 1, 64).as("head"))
+    val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("head").as("head_a"))
+    val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("head").as("head_b"))
+    a.join(b, Seq("lang", "source"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("jw", call_function("jaro_winkler", col("head_a"), col("head_b")))
+      .where(col("jw") >= 0.90)
+      .select(col("doc_a"), col("doc_b"), floor(col("jw") * 1000).cast("long").as("jw_milli"))
+  }
+
   /** The flagship ER pipeline as a registered query: documents → interleaved
     * span table (text tokens as text spans, source/lang as media spans) →
     * blocking → scoring → connected components → cluster assignments.
