@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
   * (default 32), SPARK_GRAFT_BENCH_ENTITIES × SPARK_GRAFT_BENCH_DPE (ER
-  * corpus size, default 120000 × 3 docs), SPARK_GRAFT_SCALE_N (N of the
+  * corpus size, default 200000 × 3 docs), SPARK_GRAFT_SCALE_N (N of the
   * N→4N pair, default 2 — the bandwidth-unsaturated region of this box,
   * see BENCH/BASELINE.md), SPARK_GRAFT_SKIP_SCALING / _SKIP_QUERIES.
   */
@@ -64,7 +64,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val entities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "120000").toInt
+    val entities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "200000").toInt
     val skipScaling = sys.env.getOrElse("SPARK_GRAFT_SKIP_SCALING", "0") == "1"
 
     // 1) headline queries at local[cpus]
