@@ -11,11 +11,17 @@ import org.apache.spark.sql.SparkSession
   * in this sandbox), reporting docs/sec at both and the throughput scaling
   * efficiency tp(4N) / (4 · tp(N)), target ≥ 0.8.
   *
+  * The scaling pair runs at local[N] vs local[4N] where N =
+  * SPARK_GRAFT_SCALE_N (default 2, i.e. 2 vs 8 threads — the
+  * bandwidth-unsaturated region of this box, see BENCH/BASELINE.md); each
+  * leg runs SPARK_GRAFT_SCALE_REPS times (default 2) and the MINIMUM wall
+  * time per leg is reported, so a transient ambient-load spike on the
+  * shared box cannot masquerade as a scaling defect.
+  *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
   * (default 32), SPARK_GRAFT_BENCH_ENTITIES × SPARK_GRAFT_BENCH_DPE (ER
-  * corpus size, default 200000 × 3 docs), SPARK_GRAFT_SCALE_N (N of the
-  * N→4N pair, default 2 — the bandwidth-unsaturated region of this box,
-  * see BENCH/BASELINE.md), SPARK_GRAFT_SKIP_SCALING / _SKIP_QUERIES.
+  * corpus size, default 200000 × 3 docs), SPARK_GRAFT_SCALE_N,
+  * SPARK_GRAFT_SCALE_REPS, SPARK_GRAFT_SKIP_SCALING / _SKIP_QUERIES.
   */
 object Bench {
 
@@ -67,37 +73,51 @@ object Bench {
     val entities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "200000").toInt
     val skipScaling = sys.env.getOrElse("SPARK_GRAFT_SKIP_SCALING", "0") == "1"
 
-    // 1) headline queries at local[cpus]
+    // 1) headline queries at local[cpus] — a failed query is RECORDED as a
+    //    failure (name → error head), never as a normal-looking wall time
     val skipQueries = sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
-    val results: Map[String, Double] = if (skipQueries) Map.empty else {
+    val (results, failures): (Map[String, Double], Map[String, String]) = if (skipQueries) (Map.empty, Map.empty) else {
       val spark = session(cpus)
+      var fails = Map.empty[String, String]
       val r = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            fails += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
       spark.stop()
-      r
+      (r -- fails.keys, fails)
     }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fs = failures.map { case (k, v) => "\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     // 2) ER scaling: identical corpus (seeded, partition-count-independent
-    //    generation) at local[8] then local[32]
+    //    generation) at local[N] then local[4N]; min wall of REPS runs per leg
     val scaling = if (skipScaling) "" else {
       val dpe = sys.env.getOrElse("SPARK_GRAFT_BENCH_DPE", "3").toInt
       val cfg = GenConfig(numEntities = entities, docsPerEntity = dpe, seed = 42L)
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-      val (n8, t8) = erRun(nSmall, cfg)
-      val (n32, t32) = erRun(nSmall * 4, cfg)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+      def bestOf(threads: Int): (Long, Double) =
+        (1 to reps).map(_ => erRun(threads, cfg)).minBy(_._2)
+      val (n8, t8) = bestOf(nSmall)
+      val (n32, t32) = bestOf(nSmall * 4)
       require(n8 == n32, s"non-deterministic corpus: $n8 != $n32")
       val tp8 = n8 / t8
       val tp32 = n32 / t32
       val eff = tp32 / (4.0 * tp8)
-      s""","er_scaling":{"docs":$n8,"scale_n":$nSmall,"tN_sec":$t8,"t4N_sec":$t32,""" +
+      s""","er_scaling":{"docs":$n8,"scale_n":$nSmall,"reps":$reps,"tN_sec":$t8,"t4N_sec":$t32,""" +
         s""""docs_per_sec_N":$tp8,"docs_per_sec_4N":$tp32,"scaling_efficiency":$eff}"""
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$scaling}""")
+    // tmpfs shuffle dir is shared RAM — never leave it populated
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File("/dev/shm/graft-spark")).deleteRecursively()
   }
 }

@@ -267,7 +267,7 @@ object SparkEntry {
         |  CAST(floor(1000.0 * n_stop / n_tokens) AS BIGINT) AS stop_milli,
         |  CASE WHEN n_tokens >= 50 AND floor(1000.0 * n_types / n_tokens) >= 300 THEN 'good'
         |       WHEN n_tokens >= 20 THEN 'fair' ELSE 'poor' END AS quality
-        |FROM s""".stripMargin,
+        |FROM s WHERE n_tokens > 0""".stripMargin,
     "q28_token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text,' '), x -> len(x)>0)) AS BIGINT) AS ws_tokens,

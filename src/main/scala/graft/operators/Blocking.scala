@@ -149,8 +149,14 @@ object Blocking {
       transform(mediaTokens(col("spans")), t => concat(lit("md:"), t)).as("md"))
     val shingled = toked.select(col("doc_id"), col("toks"), col("md"),
       shingles(col("toks"), 2).as("sh"))
+    // refinement sub-keys for HOT blocks (block() below): two independent
+    // content-derived minhashes (dedicated seed range, never used by band
+    // keys) — same-entity docs agree on each with prob ≈ their Jaccard, so
+    // splitting a hot block by them preserves within-entity recall; docs
+    // with no text fall back to a hash of their media-token set
     val sigCols = Seq(
-      graft.functions.MinhashSigExpression.minhashSigNative(col("sh"), numBands * rowsPerBand, 0).as("sig_mh")) ++
+      graft.functions.MinhashSigExpression.minhashSigNative(col("sh"), numBands * rowsPerBand, 0).as("sig_mh"),
+      graft.functions.MinhashSigExpression.minhashSigNative(col("sh"), 2, 5000).as("refine")) ++
       (if (tb > 0) Seq(graft.functions.MinhashSigExpression.minhashSigNative(array_distinct(col("toks")), tb * tkRows, 1000).as("sig_tk"))
        else Seq.empty)
     val sigged = shingled.select(Seq(col("doc_id"), col("toks"), col("md")) ++ sigCols: _*)
@@ -159,7 +165,11 @@ object Blocking {
         concat(bandKeysFromSig(col("sig_mh"), numBands, rowsPerBand, "mh"),
           bandKeysFromSig(col("sig_tk"), tb, tkRows, "tk"))
       else bandKeysFromSig(col("sig_mh"), numBands, rowsPerBand, "mh")
+    val refine = (i: Int) =>
+      when(size(col("toks")) > 0, element_at(col("refine"), i + 1))
+        .otherwise(xxhash64(col("md"), lit(5000 + i)))
     sigged.select(col("doc_id"),
+      refine(0).as("refine0"), refine(1).as("refine1"),
       explode(
         when(size(col("toks")) === 0 && size(col("md")) === 0, array().cast("array<string>"))
           .otherwise(array_union(
@@ -169,25 +179,93 @@ object Blocking {
         .as("block_key"))
   }
 
-  /** Blocking stage: docs(doc_id, spans) → (block_key, doc_id), with hot
-    * keys above `maxBlockSize` dropped (reference skew guard:
-    * MacCompression.scala:25 "filter oversized keys to avoid skew").
-    * Returns (blockingOutput, counters).
+  /** Blocking stage: docs(doc_id, spans) → (block_key, doc_id).
+    *
+    * Hot keys above `maxBlockSize` are NOT dropped (the reference's crude
+    * skew guard, MacCompression.scala:25 "filter oversized keys to avoid
+    * skew", loses every pair whose only shared key is hot — the north rule
+    * instead demands salted repartitioning of hot blocking keys). Instead,
+    * two complementary recovery paths, both emitting ordinary
+    * (block_key, doc_id) rows:
+    *
+    *  1. CONTENT-REFINED SUB-BLOCKS: the hot key is salted by two
+    *     independent content-derived minhash refinements (r0/r1; dedicated
+    *     hash seeds, see keyedDocs). Same-entity docs agree on a refinement
+    *     with prob ≈ their content Jaccard — so entity groups hiding inside
+    *     a mixed hot block become small all-pairs sub-blocks, while
+    *     unrelated docs scatter. Sub-blocks are kept when 2 ≤ size ≤ cap;
+    *     pair cost per hot key drops from O(s²) to O(s·cap).
+    *  2. A REPRESENTATIVE CHAIN per hot key: one pass sorted by doc_id over
+    *     {min-doc of each kept r0 sub-block} ∪ {docs in no kept r0
+    *     sub-block}, linking consecutive participants via 2-doc chain keys.
+    *     O(s) extra candidate pairs guarantee a connectivity path across
+    *     sub-blocks, refinement orphans, and identical-content floods that
+    *     refinement cannot split (a true dup flood needs only a spanning
+    *     chain for connected components to cluster it — never all pairs).
+    *     The scorer remains the judge: chain pairs between unrelated docs
+    *     simply score below threshold.
+    *
+    * Everything flows through the same candidatePairs equi-join, so
+    * snapshots, resume, and the labeled-pair universe keep their shape.
+    * The chain window sorts each hot key in one partition — fine up to
+    * ~10^8-row keys; a key beyond that is degenerate input (one token
+    * shared by a whole shard) and should be range-chunked upstream.
+    * Counters record hot keys/rows and both recovery paths; the returned
+    * DataFrame is persisted AND materialized (callers may unpersist).
     */
   def block(docs: DataFrame, numBands: Int = 16, rowsPerBand: Int = 3,
             maxBlockSize: Int = 64, tokenBands: Int = 0): (DataFrame, Map[String, Long]) = {
-    val exploded = keyedDocs(docs, numBands, rowsPerBand, tokenBands)
-      .select(col("block_key"), col("doc_id"))
-      .persist()
+    import org.apache.spark.sql.expressions.Window
+    val exploded = keyedDocs(docs, numBands, rowsPerBand, tokenBands).persist()
     // key-frequency stats → cap, via hash aggregation + equi-join: the
-    // partial (map-side) aggregation shrinks 14M key rows to ~#distinct
+    // partial (map-side) aggregation shrinks the key rows to ~#distinct
     // keys before the shuffle, and the join avoids the full sort a
     // count-over-window would pay on the exploded rows.
-    val sizes = exploded.groupBy("block_key").agg(count(lit(1)).as("block_size"))
-    val kept = exploded.join(
-      sizes.where(col("block_size") <= maxBlockSize).select("block_key"), "block_key")
-    val capped = sizes.where(col("block_size") > maxBlockSize).count()
-    (kept, Map("capped_block_keys" -> capped))
+    val sizes = exploded.groupBy("block_key").agg(count(lit(1)).as("block_size")).persist()
+    val small = exploded
+      .join(sizes.where(col("block_size") <= maxBlockSize).select("block_key"), "block_key")
+      .select(col("block_key"), col("doc_id"))
+    val hot = exploded
+      .join(sizes.where(col("block_size") > maxBlockSize).select("block_key"), "block_key")
+      .select(col("block_key"), col("doc_id"),
+        concat(col("block_key"), lit(":r0:"), conv(col("refine0").cast("string"), 10, 16)).as("r0key"),
+        concat(col("block_key"), lit(":r1:"), conv(col("refine1").cast("string"), 10, 16)).as("r1key"))
+      .persist()
+    // path 1: refined sub-blocks from BOTH families (OR-recall)
+    val refined = hot.select(explode(array(col("r0key"), col("r1key"))).as("block_key"), col("doc_id"))
+    val rsizes = refined.groupBy("block_key").agg(count(lit(1)).as("rsize")).persist()
+    val refinedKept = refined
+      .join(rsizes.where(col("rsize") <= maxBlockSize && col("rsize") >= 2).select("block_key"), "block_key")
+      .select(col("block_key"), col("doc_id"))
+    // path 2: representative chain per hot key (r0-family coverage):
+    // kept r0 sub-blocks contribute their min doc (the sub-block is already
+    // internally all-paired); every other doc participates directly
+    val r0stats = hot.groupBy("r0key")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+    val participants = hot.join(r0stats, "r0key")
+      .where(col("n") < 2 || col("n") > maxBlockSize || col("doc_id") === col("rep"))
+      .select(col("block_key"), col("doc_id"))
+    val w = Window.partitionBy("block_key").orderBy("doc_id")
+    val chainRows = participants
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(concat(col("block_key"), lit(":c"), col("rn")).as("block_key"),
+        explode(array(col("prev"), col("doc_id"))).as("doc_id"))
+    val kept = small.unionByName(refinedKept).unionByName(chainRows).persist()
+    val blockingRows = kept.count() // materialize before unpersisting parents
+    val hotStats = sizes.where(col("block_size") > maxBlockSize)
+      .agg(count(lit(1)).as("k"), coalesce(sum(col("block_size")), lit(0L)).as("r"))
+      .collect()(0)
+    val rKept = rsizes
+      .agg(coalesce(sum(when(col("rsize") <= maxBlockSize && col("rsize") >= 2, 1L).otherwise(0L)), lit(0L)))
+      .collect()(0).getLong(0)
+    exploded.unpersist(); sizes.unpersist(); hot.unpersist(); rsizes.unpersist()
+    (kept, Map(
+      "blocking_rows" -> blockingRows,
+      "capped_block_keys" -> hotStats.getLong(0),
+      "capped_doc_rows" -> hotStats.getLong(1),
+      "refined_subblocks_kept" -> rKept))
   }
 
   /** Candidate pairs: self equi-join of the blocking output on block_key

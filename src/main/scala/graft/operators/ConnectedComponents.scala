@@ -64,9 +64,10 @@ object ConnectedComponents {
   /** Order-insensitive edge-set signature: (count, xor of row hashes) —
     * xor never overflows and the edge set is distinct, so duplicates can't
     * cancel. One aggregate job replaces the count + exceptAll convergence
-    * test; a collision would only end the loop one iteration early with
-    * probability ~2^-64 per iteration — and the loop only stops at a TRUE
-    * fixpoint in the non-collision case, so results stay exact.
+    * test per iteration; when signatures FIRST match, one exact exceptAll
+    * confirmation pass runs (a single extra job total), so convergence is
+    * never declared on a hash collision — the engine's bit-exactness
+    * guarantee holds unconditionally.
     */
   private def signature(e: DataFrame): (Long, Long) = {
     val r = e.select(
@@ -86,9 +87,13 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       val ss = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = signature(canonical(ss))
+      // exact confirmation on signature match: counts are equal (part of
+      // the signature), so a one-direction empty exceptAll proves set
+      // equality — both inputs recompute from checkpointed parents
+      converged = nextSig == prevSig &&
+        canonical(ss).exceptAll(canonical(edges)).isEmpty
       edges = ss
       iter += 1
-      converged = nextSig == prevSig
       prevSig = nextSig
     }
     // at fixpoint every edge is (node, componentMin) with node > min;

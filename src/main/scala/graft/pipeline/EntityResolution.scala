@@ -32,7 +32,12 @@ object EntityResolution {
       scoredPairs: DataFrame,
       blocking: DataFrame,
       ccIterations: Int,
-      counters: Map[String, Long])
+      counters: Map[String, Long]) {
+    /** Release the cached blocking output (it is persisted + materialized by
+      * Blocking.block); later uses of `blocking` recompute from source.
+      */
+    def release(): Unit = blocking.unpersist()
+  }
 
   /** Run the full pipeline. When `runDir` is given, each stage is committed
     * as a snapshot and `resume=true` skips already-committed stages
@@ -52,6 +57,7 @@ object EntityResolution {
               val df = compute
               val c = counters
               val committed = Snapshots.commit(spark, df, dir, stage, runId, c)
+              df.unpersist() // stage is durable now; drop any cache the compute left
               (spark.read.parquet(committed.path), c)
           }
         case None => (compute, counters)

@@ -42,31 +42,41 @@ object Corpus {
       .groupBy(md5(col("text")).as("content_key"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
 
-  /** MinHash+LSH near-duplicate pairs: word-2-shingles → 12 bands × 3
-    * minhash rows → band-key equi-join → exact Jaccard verification ≥ 0.5.
+  /** MinHash+LSH near-duplicate pairs: word-2-shingles → one-pass native
+    * 36-component minhash signature → 12 bands × 3 rows → band-key
+    * equi-join on (band, doc_id) ONLY → pair dedup → exact Jaccard
+    * verification ≥ 0.5, computed ONCE per surviving pair.
+    *
+    * Plan shape (the part that matters at 100 TB): the band join carries no
+    * payload — shingle arrays never enter the shuffle, and a pair colliding
+    * in all 12 bands is verified once, not 12 times. The shingle arrays are
+    * joined back exactly once per DEDUPED candidate pair.
+    *
     * Planted near-dups in the corpus sit at j ≥ 0.9 and background at
     * j < 0.15, so band recall at the threshold is effectively 1
     * (miss prob ≈ (1−0.9³)¹² ≈ 1e-7); the oracle brute-forces all pairs.
-    * Internal band hashes use xxhash64 (never oracle-facing).
+    * Internal band hashes use the native minhash_sig (never oracle-facing).
     */
   def q20_dedup_minhash_lsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val numBands = 12; val rowsPerBand = 3
     val sh = docs(spark, dir).select(col("doc_id"),
       shingles(tokens(col("text")), 2).as("sh"))
-    val bandKeys = (0 until numBands).map { b =>
-      val rows = (0 until rowsPerBand).map(r =>
-        array_min(transform(col("sh"), s => xxhash64(s, lit(b * rowsPerBand + r)))))
-      xxhash64(lit(b) +: rows: _*)
-    }
-    val withBands = sh.select(col("doc_id"), col("sh"),
-      explode(array(bandKeys: _*)).as("band"))
-    val a = withBands.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = withBands.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, "band")
+    val sig = sh.select(col("doc_id"),
+      graft.functions.MinhashSigExpression.minhashSigNative(col("sh"), numBands * rowsPerBand, 0).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))).as("band"))
+    val pairs = bands.select(col("band"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("doc_id").as("doc_b")), "band")
       .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccardMilli(col("sh_a"), col("sh_b")).as("jacc_milli"))
       .where(col("jacc_milli") >= 500)
-      .distinct()
   }
 
   /** n-gram (token-unigram) Jaccard dedup within a (lang, source) block —
@@ -91,13 +101,21 @@ object Corpus {
     * fingerprint per doc plus its bucket size.
     */
   def q22_dedup_simhash(spark: SparkSession, dir: String): DataFrame = {
+    // empty/whitespace-only docs are excluded on BOTH sides: the oracle
+    // derives simhash via unnest (which drops zero-token docs), so emitting
+    // simhash=0 rows for them here would be a latent rows mismatch
     val d = docs(spark, dir)
+      .where(size(tokens(col("text"))) > 0)
       .select(col("doc_id"), simhash16(tokens(col("text"))).as("simhash"))
     d.withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
   }
 
   /** Brute-force cosine top-k: queries = vec_id < 20 (broadcast), exact
-    * integer-quantized cosine against all vectors, top-5 per query.
+    * integer-quantized cosine against all vectors, top-5 per query via the
+    * bounded TopKAggregator — NOT a ranking window: a window partitioned by
+    * #queries keys would funnel the entire corpus×queries product into
+    * #queries partitions, while the aggregator's map-side partials shuffle
+    * at most k rows per (query, input-partition).
     * The baseline ANN path; IVF below is the scale path.
     */
   def q23_embed_cosine_topk(spark: SparkSession, dir: String): DataFrame = {
@@ -105,21 +123,37 @@ object Corpus {
       .withColumn("n2", qnorm2(col("q")))
     val queries = e.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val topk = graft.functions.TopKAggregator.topK(5)
     e.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", qcos(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank").cast("bigint").as("rank"))
+      .select(col("query_id"), col("vec_id"),
+        qcos(qdot(col("q"), col("qq")), col("n2"), col("qn2")).as("cos"))
+      .groupBy("query_id")
+      .agg(topk(col("vec_id"), col("cos")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")))
+      .select(col("query_id"), col("col").as("neighbor_id"), (col("pos") + 1).cast("bigint").as("rank"))
   }
+
+  /** Upper vector-count bound for the brute-force q24 baseline: a cartesian
+    * product over more vectors than this is a scale bug, not a query — the
+    * LSH (q20) and IVF (q25) paths are the sanctioned near-dup operators
+    * above it. 100k vectors ≈ 5e9 candidate pairs, the most a single-box
+    * verification run can justify.
+    */
+  val NearDupBruteForceLimit = 100000L
 
   /** Embedding-cosine near-duplicate pairs: all pairs with quantized cosine
     * ≥ 0.35, emitted with the micro-scaled cosine floor (exact integer
     * arithmetic end-to-end; cos itself is IEEE-stable, see CorpusExpr.qcos).
-    * At scale the same operator runs behind the IVF cell join (q25).
+    * GATED: this is the oracle-matching O(n²) baseline — above
+    * `NearDupBruteForceLimit` vectors it refuses to run and points at the
+    * scale paths (q20 MinHash-LSH, q25 IVF).
     */
   def q24_embed_neardup(spark: SparkSession, dir: String): DataFrame = {
+    val nVecs = emb(spark, dir).count()
+    require(nVecs <= NearDupBruteForceLimit,
+      s"q24_embed_neardup is a brute-force all-pairs baseline; $nVecs vectors exceed " +
+        s"the $NearDupBruteForceLimit cap. Use q20 (MinHash-LSH) or q25 (IVF) at scale.")
     val e = emb(spark, dir).select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
     val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("na"))
@@ -142,21 +176,26 @@ object Corpus {
       .withColumn("n2", qnorm2(col("q")))
     val cents = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("n2").as("cn2"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id").asc)
+    // cell assignment = argmax over the 8 broadcast centroids — a plain
+    // max_by hash aggregation (ccos desc, cent_id asc via negated id), no
+    // ranking window, no sort
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("ccos", qcos(qdot(col("q"), col("cq")), col("n2"), col("cn2")))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("q"), col("n2"), col("cent_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
+        first(col("q")).as("q"), first(col("n2")).as("n2"))
     val queries = assigned.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"), col("cell"))
-    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val topk = graft.functions.TopKAggregator.topK(3)
     assigned.join(broadcast(queries), "cell")
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", qcos(qdot(col("q"), col("qq")), col("n2"), col("qn2")))
-      .withColumn("rank", row_number().over(wRank))
-      .where(col("rank") <= 3)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank").cast("bigint").as("rank"))
+      .select(col("query_id"), col("vec_id"),
+        qcos(qdot(col("q"), col("qq")), col("n2"), col("qn2")).as("cos"))
+      .groupBy("query_id")
+      .agg(topk(col("vec_id"), col("cos")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")))
+      .select(col("query_id"), col("col").as("neighbor_id"), (col("pos") + 1).cast("bigint").as("rank"))
   }
 
   /** Language-ID by stopword-profile scoring: per-language marker lists;
@@ -191,7 +230,10 @@ object Corpus {
   def q27_quality_score(spark: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
     val toks = tokens(col("text"))
+    // n_tokens > 0 guard: the milli-ratios divide by n_tokens (ANSI mode
+    // would throw on an empty doc); the oracle carries the same WHERE
     docs(spark, dir)
+      .where(size(toks) > 0)
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_types"),

@@ -103,7 +103,13 @@ object Trajectory {
     * fully RELATIONAL form — explode → df-weight join → pair equi-join on
     * (source, token) → exact integer sums. This is the formulation that
     * scales: no per-pair array scans, one shuffle per aggregation, and the
-    * weights live in a table, not a driver map.
+    * weights live in a TABLE joined by a plain shuffle join (AQE picks the
+    * strategy) — never a driver-side broadcast: at 10^12 docs the token
+    * vocabulary is billions of rows and a broadcast would OOM the driver.
+    * Zero-weight tokens (df ≥ 1e6, i.e. floor(1e6/df) = 0) are pruned
+    * BEFORE the pair join: they contribute 0 to both the intersection and
+    * the union sums (exact no-op on results), and they are precisely the
+    * hot tokens whose pair explosion would dominate the join at scale.
     */
   def q35_weighted_jaccard(spark: SparkSession, dir: String): DataFrame = {
     val tok = t(spark, dir, "documents")
@@ -112,8 +118,9 @@ object Trajectory {
     val w = tok.groupBy("token")
       .agg(countDistinct(col("doc_id")).as("df"))
       .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
+      .where(col("w") > 0) // df-pruning: hot tokens weigh 0 — drop pre-join
       .select("token", "w")
-    val tw = tok.join(broadcast(w), "token")
+    val tw = tok.join(w, "token")
     val sums = tw.groupBy(col("doc_id")).agg(sum(col("w")).as("wsum"))
     val a = tw.select(col("source"), col("token"), col("doc_id").as("doc_a"), col("w"))
     val b = tw.select(col("source"), col("token"), col("doc_id").as("doc_b"))

@@ -40,6 +40,31 @@ class PipelineSpec extends SparkSpec {
     assert(res.ccIterations < 20)
   }
 
+  test("hot blocking keys are refined + chained, not dropped: planted hot-key entity stays whole") {
+    import spark.implicits._
+    // a 150-doc entity: EVERY key it emits (sn, mh bands, media) is shared
+    // by all 150 docs => block size 150 > cap 64 => all its keys are hot.
+    // Round-1 behavior (drop hot keys) would shatter it into singletons.
+    val plantedCfg = GenConfig(numEntities = 1, docsPerEntity = 150, seed = 777L)
+    val planted = DocGen.docs(spark, plantedCfg).map(d => d.copy(doc_id = "p" + d.doc_id))
+    val plantedGold = DocGen.gold(spark, plantedCfg)
+      .map(g => g.copy(doc_id = "p" + g.doc_id, entity_id = "p" + g.entity_id))
+    val all = docs.unionByName(planted.toDF()).cache()
+    val allGold = gold.unionByName(plantedGold.toDF()).cache()
+
+    val res = EntityResolution.run(spark, all)
+    assert(res.counters("capped_block_keys") > 0, "test corpus must actually produce hot keys")
+    val plantedClusters = res.assignments
+      .where(col("doc_id").startsWith("p")).select("cluster_id").distinct().count()
+    assert(plantedClusters == 1, s"hot-key entity split into $plantedClusters clusters")
+    val labeled = EntityResolution.labeledPairs(res.blocking, allGold)
+    val m = Eval.pairwiseF1(res.assignments, labeled)
+    info(s"hot-key corpus: P=${m.precision} R=${m.recall} F1=${m.f1} counters=${res.counters}")
+    assert(m.f1 >= 0.99, s"F1 ${m.f1} below gate with hot keys present")
+    assert(Eval.clusterEquality(res.assignments, allGold), "cluster membership != gold under hot keys")
+    all.unpersist(); allGold.unpersist()
+  }
+
   test("span-sequence invariant holds through the pipeline") {
     // docs are never mutated by the pipeline; assert the invariant checker
     // itself: identical input => 0 violations, a mutated doc => >0
