@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Corpus, Relational, Trajectory}
+import graft.queries.{Corpus, Relational, Sources, Trajectory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator claimed in SURVEY.md §2 has a `queries` entry; those with
@@ -51,7 +51,14 @@ object SparkEntry {
     "q36_er_cluster" -> Trajectory.q36_er_cluster _,
     "q37_collision_scan" -> Trajectory.q37_collision_scan _,
     "q38_hash_sample" -> Trajectory.q38_hash_sample _,
-    "q39_jw_similarity" -> Trajectory.q39_jw_similarity _,
+    "q39_lev_similarity" -> Trajectory.q39_lev_similarity _,
+    "q40_conflict_pairs" -> Trajectory.q40_conflict_pairs _,
+    "q41_lcs_positional" -> Trajectory.q41_lcs_positional _,
+    "q42_sov_ratio" -> Trajectory.q42_sov_ratio _,
+    "q43_trip_completion" -> Trajectory.q43_trip_completion _,
+    "q44_partitioned_scan" -> Sources.q44_partitioned_scan _,
+    "q45_sql_view" -> Sources.q45_sql_view _,
+    "q46_csv_scan" -> Sources.q46_csv_scan _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -347,5 +354,99 @@ object SparkEntry {
     "q38_hash_sample" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT % 10 = 0""".stripMargin,
+    "q39_lev_similarity" ->
+      """WITH d AS (SELECT doc_id, lang, source, substr(text, 1, 64) AS head FROM documents)
+        |SELECT doc_a, doc_b, lev_milli FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(floor(1000.0 * (1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
+        |      / greatest(len(a.head), len(b.head)))) AS BIGINT) AS lev_milli
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(a.head) > 0 AND len(b.head) > 0)
+        |WHERE lev_milli >= 900""".stripMargin,
+    "q40_conflict_pairs" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |coll AS (SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS n_collisions
+        |  FROM e a JOIN e b ON a.event_type = b.event_type AND a.user_id < b.user_id
+        |    AND abs(a.ms - b.ms) <= 300000
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |conf AS (SELECT c.ua, c.ub, COUNT(*) AS n_conflicts
+        |  FROM coll c JOIN e a ON a.user_id = c.ua JOIN e b ON b.user_id = c.ub
+        |  WHERE a.event_type <> b.event_type AND abs(a.ms - b.ms) <= 60000
+        |  GROUP BY 1, 2)
+        |SELECT ua, ub, n_collisions, CAST(COALESCE(n_conflicts, 0) AS BIGINT) AS n_conflicts
+        |FROM coll LEFT JOIN conf USING (ua, ub)
+        |WHERE COALESCE(n_conflicts, 0) * 10 <= n_collisions""".stripMargin,
+    "q41_lcs_positional" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |n AS (SELECT user_id, COUNT(*) AS n FROM e GROUP BY 1),
+        |al AS (SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS n_aligned
+        |  FROM e a JOIN e b ON a.event_type = b.event_type AND a.user_id < b.user_id
+        |    AND abs(a.ms - b.ms) <= 600000
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT ua, ub, n_aligned,
+        |  CAST(floor(1000.0 * n_aligned / least(na.n, nb.n)) AS BIGINT) AS lcs_milli
+        |FROM al JOIN n na ON na.user_id = ua JOIN n nb ON nb.user_id = ub""".stripMargin,
+    "q42_sov_ratio" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+        |s AS (SELECT user_id, ms,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+        |sess AS (SELECT user_id, sid, MIN(ms) AS st, MAX(ms) AS en FROM s GROUP BY 1, 2
+        |  HAVING MAX(ms) > MIN(ms)),
+        |tot AS (SELECT user_id, CAST(SUM(en - st) AS BIGINT) AS total_ms FROM sess GROUP BY 1),
+        |ov AS (SELECT a.user_id AS ua, b.user_id AS ub,
+        |    CAST(SUM(LEAST(a.en, b.en) - GREATEST(a.st, b.st)) AS BIGINT) AS ov_ms
+        |  FROM sess a JOIN sess b ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+        |  GROUP BY 1, 2)
+        |SELECT ua, ub, ov_ms, CAST(floor(1000.0 * ov_ms / t.total_ms) AS BIGINT) AS sov_milli
+        |FROM ov JOIN tot t ON t.user_id = ua""".stripMargin,
+    "q43_trip_completion" ->
+      """WITH g AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+        |s AS (SELECT user_id, event_id, event_type, ms,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+        |sess AS (SELECT user_id, sid, MIN(ms) AS st, MAX(ms) AS en FROM s GROUP BY 1, 2),
+        |firsts AS (SELECT user_id, sid, event_type AS f FROM (
+        |  SELECT user_id, sid, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ms ASC, event_id ASC) AS rn FROM s)
+        |  WHERE rn = 1),
+        |lasts AS (SELECT user_id, sid, event_type AS l FROM (
+        |  SELECT user_id, sid, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ms DESC, event_id DESC) AS rn FROM s)
+        |  WHERE rn = 1),
+        |od AS (SELECT sess.user_id, sess.sid, f, l, st, en
+        |  FROM sess JOIN firsts USING (user_id, sid) JOIN lasts USING (user_id, sid)),
+        |modal AS (SELECT user_id, f AS mf, l AS ml FROM (
+        |  SELECT user_id, f, l,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, f ASC, l ASC) AS rn
+        |  FROM od GROUP BY user_id, f, l) WHERE rn = 1)
+        |SELECT od.user_id, CAST(sid AS BIGINT) AS session_id, f AS first_type, l AS last_type,
+        |  CAST(st - CASE WHEN f <> mf THEN 300000 + 100000 * ((length(mf) * 7 + length(f)) % 5)
+        |    ELSE 0 END AS BIGINT) AS comp_start_ms,
+        |  CAST(en + CASE WHEN l <> ml THEN 300000 + 100000 * ((length(l) * 7 + length(ml)) % 5)
+        |    ELSE 0 END AS BIGINT) AS comp_end_ms,
+        |  (f <> mf OR l <> ml) AS completed
+        |FROM od JOIN modal USING (user_id)""".stripMargin,
+    "q44_partitioned_scan" ->
+      """SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY 1, 2""".stripMargin,
+    "q45_sql_view" ->
+      """WITH top3 AS (SELECT event_type FROM events
+        |  GROUP BY event_type ORDER BY COUNT(*) DESC, event_type ASC LIMIT 3)
+        |SELECT user_id, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM events WHERE event_type IN (SELECT event_type FROM top3)
+        |GROUP BY user_id, event_type""".stripMargin,
+    "q46_csv_scan" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
   )
 }

@@ -87,6 +87,72 @@ object Kernels {
     out.distinct.sorted
   }
 
+  /** One observed trip/session with its endpoint types and time bounds. */
+  final case class SessionOD(first: String, last: String, startMs: Long, endMs: Long)
+
+  /** Sessionize a user's time-sorted (ms, type) events with a fixed gap
+    * (reference trip segmentation W3, SplitAPData.scala:62-108 in its
+    * simple-threshold form, DivisionAndSampling.scala:33-62).
+    * Input MUST be sorted ascending; emits sessions in order.
+    */
+  def sessionizeOD(events: Seq[(Long, String)], gapMs: Long): Vector[SessionOD] = {
+    if (events.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[SessionOD]
+    var first = events.head._2
+    var last = events.head._2
+    var start = events.head._1
+    var end = events.head._1
+    var i = 1
+    while (i < events.length) {
+      val (ms, tp) = events(i)
+      if (ms - end > gapMs) {
+        out += SessionOD(first, last, start, end)
+        first = tp; start = ms
+      }
+      last = tp; end = ms
+      i += 1
+    }
+    out += SessionOD(first, last, start, end)
+    out.result()
+  }
+
+  /** The user's modal OD (most frequent (first,last) endpoint pair across
+    * sessions; ties broken lexicographically) — the reference's travel
+    * PATTERN the completion step extends observations toward
+    * (AFCPattern.scala:108-130).
+    */
+  def modalOD(sessions: Seq[SessionOD]): (String, String) = {
+    require(sessions.nonEmpty)
+    sessions.groupBy(s => (s.first, s.last)).toSeq
+      .map { case (od, ss) => (od, ss.size) }
+      .minBy { case ((f, l), n) => (-n, f, l) }._1
+  }
+
+  /** Deterministic synthetic OD travel interval (stands in for the
+    * reference's measured OD time-interval dimension,
+    * ODTimeInterval.scala:25-39): ms to travel from endpoint type x to y.
+    */
+  def odIntervalMs(x: String, y: String): Long =
+    300000L + 100000L * ((x.length * 7 + y.length) % 5)
+
+  /** W6 trip completion (reference APCompletion.scala:213-261 /
+    * Model.scala:363-415): a session whose observed OD is a PARTIAL view of
+    * the user's modal pattern is extended to the pattern's full extent
+    * using OD-interval arithmetic — missing head: start moves earlier by
+    * the modal-origin→observed-origin interval; missing tail: end moves
+    * later by the observed-destination→modal-destination interval.
+    * Returns (completedStartMs, completedEndMs, wasCompleted) per session,
+    * in session order.
+    */
+  def completeTrips(sessions: Seq[SessionOD], modal: (String, String)): Seq[(Long, Long, Boolean)] = {
+    val (mf, ml) = modal
+    sessions.map { s =>
+      val headExt = if (s.first != mf) odIntervalMs(mf, s.first) else 0L
+      val tailExt = if (s.last != ml) odIntervalMs(s.last, ml) else 0L
+      (s.startMs - headExt, s.endMs + tailExt, headExt != 0L || tailExt != 0L)
+    }
+  }
+
   /** Assign each time to the nearest center within `dc` seconds, else
     * cluster 0 (reference pattern assignment, Model.scala:140-160).
     * Returns 1-based center index or 0.

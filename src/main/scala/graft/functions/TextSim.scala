@@ -74,7 +74,39 @@ object TextSim {
     (m / a.length + m / b.length + (m - t / 2) / m) / 3.0
   }
 
-  /** Jaro-Winkler: boost by shared prefix (<=4 chars), scaling p=0.1. */
+  /** Length of the LONGEST COMMON SUBSEQUENCE of two token sequences —
+    * the in-order alignment count Q of the reference's merge-scan trip
+    * alignment (AMPI.scala:240-279 classifies each trip as co-occurring Q,
+    * afc-only P, or ap-only R; here Q = LCS, P = |a|−Q, R = |b|−Q).
+    * O(|a|·|b|) two-row DP over interned-comparison strings.
+    */
+  def tokenLcs(a: Seq[String], b: Seq[String]): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    val bArr = b.toArray
+    var prev = new Array[Int](bArr.length + 1)
+    var curr = new Array[Int](bArr.length + 1)
+    val it = a.iterator
+    while (it.hasNext) {
+      val ai = it.next()
+      var j = 1
+      while (j <= bArr.length) {
+        curr(j) =
+          if (ai == bArr(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), curr(j - 1))
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      java.util.Arrays.fill(curr, 0)
+    }
+    prev(bArr.length)
+  }
+
+  /** Jaro-Winkler: boost by shared prefix (<=4 chars), scaling p=0.1.
+    * NOTE: the prefix bonus is applied unconditionally (RapidFuzz-style);
+    * classic Winkler (and DuckDB) gate it behind jaro > 0.7 — one reason JW
+    * values are never oracle-compared across engines (the other: integer
+    * vs fractional half-transposition counts).
+    */
   def jaroWinkler(a: String, b: String, p: Double = 0.1, maxPrefix: Int = 4): Double = {
     val j = jaro(a, b)
     var l = 0

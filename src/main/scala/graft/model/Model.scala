@@ -25,8 +25,10 @@ final case class BlockEntry(block_key: String, doc_id: String)
 /** Candidate pair after the block self-join (doc_id_a < doc_id_b). */
 final case class CandidatePair(doc_id_a: String, doc_id_b: String, block_key: String)
 
-/** Scored pair: two evidence channels + blended score
-  * (reference analogue: ol_1/ol_2 blend, AMPI.scala:298-306,385-392).
+/** Scored pair: three evidence channels + blended score
+  * (reference analogue: ol_1/ol_2 blend AMPI.scala:298-306,385-392, plus
+  * the rank-decayed alignment score with Q+P+R normalization,
+  * AMPI.scala:393-405).
   */
 final case class ScoredPair(
     doc_id_a: String,
@@ -34,6 +36,7 @@ final case class ScoredPair(
     block_key: String,
     sim_text: Double,
     sim_media: Double,
+    sim_align: Double,
     score: Double)
 
 /** Final cluster assignment; cluster_id = min doc_id in the cluster. */

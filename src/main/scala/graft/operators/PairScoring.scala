@@ -38,7 +38,25 @@ object PairScoring {
         * AMPI.scala:385-392 (ol_2 used only when consistent with ol_1):
         * a doc that lost its media spans must not have its perfect text
         * match dragged below threshold by an empty channel */
-      minMediaEvidence: Int = 2)
+      minMediaEvidence: Int = 2,
+      /** blend weight of the ordered-alignment channel (0 disables) —
+        * the flagship matcher's distinctive normalization,
+        * AMPI.scala:393-405: per-rank exponential decay over the in-order
+        * aligned spans Q, normalized by Q+P+R */
+      alignWeight: Double = 0.2,
+      /** rank-decay rate γ₃ of the alignment channel (AMPI.scala:404:
+        * score_i / e^{γ₃·i}) */
+      alignDecay: Double = 0.05,
+      /** γ₂-style inner blend between the decayed-coverage term and the
+        * raw Q/(Q+P+R) term (AMPI.scala:393-405) */
+      alignBlend: Double = 0.5,
+      /** HARD CONFLICT ELIMINATION (reference M7,
+        * MultiUserMatch.scala:104-121: a device observed ELSEWHERE at tap
+        * time vetoes the pair regardless of similarity): media tokens
+        * carrying this prefix are exclusive identity claims — if both docs
+        * assert one and the sets are disjoint, the pair scores 0. Empty
+        * string disables. */
+      exclusivePrefix: String = "xid:")
 
   /** Inverse-document-frequency weights for media_ref tokens as a
     * DRIVER-side map — only for genuinely small vocabularies (tests,
@@ -100,28 +118,79 @@ object PairScoring {
     if (uni <= 0.0) 0.0 else inter / uni
   }
 
-  /** Pure per-pair kernel (array-weights form), unit-testable off-Spark. */
+  /** Ordered-alignment channel (reference M1's distinctive normalization,
+    * AMPI.scala:393-405): Q = in-order aligned tokens (LCS), P/R = each
+    * side's unaligned remainder. The γ₂ blend combines
+    *  - the rank-DECAYED coverage Σ_{i<Q} e^{-γ₃ i} / Σ_{i<min(na,nb)}
+    *    e^{-γ₃ i} (early aligned spans dominate — the e^{γ₃·i} divisor of
+    *    AMPI.scala:404 in normalized form; both sums are closed-form
+    *    geometric series), and
+    *  - the raw Σ s_i / (Q+P+R) with s_i = 1 — literally AMPI.scala:405's
+    *    denominator, since Q+P+R = na+nb−Q.
+    * 1.0 for identical sequences, → 0 for disjoint ones.
+    */
+  def alignScore(textA: Seq[String], textB: Seq[String], decay: Double, blend: Double): Double = {
+    val na = textA.length; val nb = textB.length
+    if (na == 0 || nb == 0) return 0.0
+    val q = TextSim.tokenLcs(textA, textB)
+    if (q == 0) return 0.0
+    def geo(n: Int): Double =
+      if (decay <= 0.0) n.toDouble
+      else (1.0 - math.exp(-decay * n)) / (1.0 - math.exp(-decay))
+    val decayed = geo(q) / geo(math.min(na, nb))
+    val qpr = q.toDouble / (na + nb - q)
+    blend * decayed + (1.0 - blend) * qpr
+  }
+
+  /** M7 hard conflict: both docs assert an exclusive-identity media token
+    * (prefix-marked) and the claims are disjoint — the pair is vetoed no
+    * matter how similar the text (reference MultiUserMatch.scala:104-121:
+    * the device was provably elsewhere).
+    */
+  def exclusiveConflict(mToksA: Seq[String], mToksB: Seq[String], prefix: String): Boolean = {
+    if (prefix.isEmpty) return false
+    val xa = mToksA.filter(_.startsWith(prefix))
+    if (xa.isEmpty) return false
+    val xb = mToksB.filter(_.startsWith(prefix))
+    if (xb.isEmpty) return false
+    val sa = xa.toSet
+    !xb.exists(sa.contains)
+  }
+
+  /** Pure per-pair kernel (array-weights form), unit-testable off-Spark.
+    * Returns (simText, simMedia, simAlign, blended score).
+    */
   def scorePairArrays(
       textA: Seq[String], mToksA: Seq[String], mWsA: Seq[Double],
       textB: Seq[String], mToksB: Seq[String], mWsB: Seq[Double],
-      cfg: ScoreConfig): (Double, Double, Double) = {
-    val ja = textA.take(cfg.maxTokens).mkString(" ")
-    val jb = textB.take(cfg.maxTokens).mkString(" ")
+      cfg: ScoreConfig): (Double, Double, Double, Double) = {
+    val ta = if (textA.length > cfg.maxTokens) textA.take(cfg.maxTokens) else textA
+    val tb = if (textB.length > cfg.maxTokens) textB.take(cfg.maxTokens) else textB
+    val ja = ta.mkString(" ")
+    val jb = tb.mkString(" ")
     val simText = 0.5 * TextSim.jaroWinkler(ja, jb) + 0.5 * TextSim.levenshteinRatio(ja, jb)
     val simMedia = weightedJaccardArrays(mToksA, mWsA, mToksB, mWsB)
+    val simAlign =
+      if (cfg.alignWeight <= 0.0) 0.0
+      else alignScore(ta, tb, cfg.alignDecay, cfg.alignBlend)
     val mediaUsable = math.min(mToksA.size, mToksB.size) >= cfg.minMediaEvidence
-    val score =
+    val base =
       if (simText < cfg.conflictTextFloor) 0.0
       else if (!mediaUsable) simText
       else cfg.gammaText * simText + (1.0 - cfg.gammaText) * simMedia
-    (simText, simMedia, score)
+    val blended =
+      if (base == 0.0) 0.0
+      else (1.0 - cfg.alignWeight) * base + cfg.alignWeight * simAlign
+    val score =
+      if (exclusiveConflict(mToksA, mToksB, cfg.exclusivePrefix)) 0.0 else blended
+    (simText, simMedia, simAlign, score)
   }
 
   /** Pure per-pair kernel (dictionary form — small-vocabulary path). */
   def scorePair(
       textA: Seq[String], mediaA: Seq[String],
       textB: Seq[String], mediaB: Seq[String],
-      idf: String => Double, cfg: ScoreConfig): (Double, Double, Double) = {
+      idf: String => Double, cfg: ScoreConfig): (Double, Double, Double, Double) = {
     val (sa, sb) = (mediaA.map(idf), mediaB.map(idf))
     scorePairArrays(textA, mediaA, sa, textB, mediaB, sb, cfg)
   }
@@ -160,8 +229,8 @@ object PairScoring {
            Seq[String], Seq[String], Seq[Double])]
     joined.mapPartitions { it =>
       it.map { case (a, b, bk, ta, mta, mwa, tb, mtb, mwb) =>
-        val (st, sm, sc) = scorePairArrays(ta, mta, mwa, tb, mtb, mwb, cfg)
-        ScoredPair(a, b, bk, st, sm, sc)
+        val (st, sm, sa, sc) = scorePairArrays(ta, mta, mwa, tb, mtb, mwb, cfg)
+        ScoredPair(a, b, bk, st, sm, sa, sc)
       }
     }
   }
@@ -192,8 +261,8 @@ object PairScoring {
       val idf = idfBc.value
       val w: String => Double = t => idf.getOrElse(t, defaultIdf)
       it.map { case (a, b, bk, ta, ma, tb, mb) =>
-        val (st, sm, sc) = scorePair(ta, ma, tb, mb, w, cfg)
-        ScoredPair(a, b, bk, st, sm, sc)
+        val (st, sm, sa, sc) = scorePair(ta, ma, tb, mb, w, cfg)
+        ScoredPair(a, b, bk, st, sm, sa, sc)
       }
     }
   }

@@ -180,17 +180,158 @@ object Trajectory {
     * so cross-engine value equality is not guaranteed; JW semantics are
     * unit-tested in TextSimSpec instead.
     */
-  def q39_jw_similarity(spark: SparkSession, dir: String): DataFrame = {
-    graft.GraftExtensions.register(spark)
+  def q39_lev_similarity(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), substring(col("text"), 1, 64).as("head"))
     val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("head").as("head_a"))
     val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("head").as("head_b"))
     a.join(b, Seq("lang", "source"))
-      .where(col("doc_a") < col("doc_b"))
-      .withColumn("jw", call_function("jaro_winkler", col("head_a"), col("head_b")))
-      .where(col("jw") >= 0.90)
-      .select(col("doc_a"), col("doc_b"), floor(col("jw") * 1000).cast("long").as("jw_milli"))
+      .where(col("doc_a") < col("doc_b") && length(col("head_a")) > 0 && length(col("head_b")) > 0)
+      .withColumn("lev_milli",
+        floor(lit(1000.0) * (lit(1.0) - levenshtein(col("head_a"), col("head_b"))
+          / greatest(length(col("head_a")), length(col("head_b"))))).cast("long"))
+      .where(col("lev_milli") >= 900)
+      .select(col("doc_a"), col("doc_b"), col("lev_milli"))
+  }
+
+  /** M7 hard conflict elimination (reference MultiUserMatch.scala:104-121 /
+    * MatchPerWeek.scala:112-132): candidate pairs from same-type time
+    * collisions (the q37 operator) are VETOED when contradictory evidence
+    * exists — the two users observed at DIFFERENT event types within a
+    * tight window (the "device seen elsewhere at tap time" rejection that
+    * built the reference's ground truth, FilterGroundTruth.scala:15-31).
+    * Pairs survive when conflicts ≤ 10% of collisions (conflictRatio ≤ 0.1,
+    * AMPI.scala:293).
+    *
+    * Scale shape: the conflict check is CANDIDATE-RESTRICTED — events join
+    * the (small) collision-pair set by user id first, then pair-internally
+    * by time bucket; the expensive all-users × all-times join never exists.
+    */
+  def q40_conflict_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val tol = 300000L; val confTol = 60000L
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+    // candidate pairs: same-type collisions >= 3 (q37 bucket-join shape)
+    val evB = ev.withColumn("bucket", floor(col("ms") / tol))
+    val ca = evB.select(col("user_id").as("ua"), col("event_type"), col("ms").as("ms_a"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val cb = evB.select(col("user_id").as("ub"), col("event_type"), col("ms").as("ms_b"), col("bucket"))
+    val coll = ca.join(cb, Seq("event_type", "bucket"))
+      .where(col("ua") < col("ub") && abs(col("ms_a") - col("ms_b")) <= tol)
+      .groupBy("ua", "ub")
+      .agg(count(lit(1)).as("n_collisions"))
+      .where(col("n_collisions") >= 3)
+    // conflicts: different-type observations of the SAME pair within ±60 s,
+    // computed only for candidate pairs
+    val evA2 = ev.join(coll.select("ua", "ub"), ev("user_id") === col("ua"))
+      .select(col("ua"), col("ub"), col("event_type").as("type_a"), col("ms").as("ms_a"))
+      .withColumn("b0", floor(col("ms_a") / confTol))
+      .select(col("ua"), col("ub"), col("type_a"), col("ms_a"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("cbucket"))
+    val evB2 = ev.join(coll.select("ua", "ub"), ev("user_id") === col("ub"))
+      .select(col("ua"), col("ub"), col("event_type").as("type_b"), col("ms").as("ms_b"),
+        floor(col("ms") / confTol).as("cbucket"))
+    val conf = evA2.join(evB2, Seq("ua", "ub", "cbucket"))
+      .where(col("type_a") =!= col("type_b") && abs(col("ms_a") - col("ms_b")) <= confTol)
+      .groupBy("ua", "ub")
+      .agg(count(lit(1)).as("n_conflicts"))
+    coll.join(conf, Seq("ua", "ub"), "left")
+      .select(col("ua"), col("ub"), col("n_collisions"),
+        coalesce(col("n_conflicts"), lit(0L)).as("n_conflicts"))
+      .where(col("n_conflicts") * 10 <= col("n_collisions"))
+  }
+
+  /** M4 LCS positional matcher (reference LCS.scala:124-152: count of
+    * time-aligned same-station events between two users' sequences,
+    * ±180 s there, ±600 s here) with the match count normalized by the
+    * shorter sequence — lcs_milli = floor(1000·aligned/min(|a|,|b|)).
+    * Same scalable bucket-join shape as q37.
+    */
+  def q41_lcs_positional(spark: SparkSession, dir: String): DataFrame = {
+    val tol = 600000L
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+    val n = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val evB = ev.withColumn("bucket", floor(col("ms") / tol))
+    val a = evB.select(col("user_id").as("ua"), col("event_type"), col("ms").as("ms_a"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val b = evB.select(col("user_id").as("ub"), col("event_type"), col("ms").as("ms_b"), col("bucket"))
+    a.join(b, Seq("event_type", "bucket"))
+      .where(col("ua") < col("ub") && abs(col("ms_a") - col("ms_b")) <= tol)
+      .groupBy("ua", "ub")
+      .agg(count(lit(1)).as("n_aligned"))
+      .where(col("n_aligned") >= 3)
+      .join(n.select(col("user_id").as("ua"), col("n").as("n_a")), "ua")
+      .join(n.select(col("user_id").as("ub"), col("n").as("n_b")), "ub")
+      .select(col("ua"), col("ub"), col("n_aligned"),
+        floor(lit(1000.0) * col("n_aligned") / least(col("n_a"), col("n_b"))).cast("long").as("lcs_milli"))
+  }
+
+  /** M5 SOV seconds-ratio matcher (reference SOV.scala:117-166: overlapped
+    * observation seconds / total seconds): users' 30-min-gap sessions are
+    * interval-joined (range join via day bucketing + exact overlap filter),
+    * overlap summed per pair, normalized by side A's total session seconds.
+    */
+  def q42_sov_ratio(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    val dayMs = 86400000L
+    val sess = t(spark, dir, "events")
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ms")).as("s"), max(col("ms")).as("e"))
+      .where(col("e") > col("s"))
+    val tot = sess.groupBy("user_id").agg(sum(col("e") - col("s")).as("total_ms"))
+    // day-bucket range join: a session [s,e] covers buckets s/day..e/day;
+    // joining on a shared bucket finds every overlapping interval exactly
+    // (dedup via distinct session-pair overlap before summing)
+    val sa = sess.select(col("user_id").as("ua"), col("sid").as("sid_a"), col("s").as("s_a"), col("e").as("e_a"),
+      explode(sequence(floor(col("s") / dayMs), floor(col("e") / dayMs))).as("day"))
+    val sb = sess.select(col("user_id").as("ub"), col("sid").as("sid_b"), col("s").as("s_b"), col("e").as("e_b"),
+      explode(sequence(floor(col("s") / dayMs), floor(col("e") / dayMs))).as("day"))
+    val ov = sa.join(sb, "day")
+      .where(col("ua") < col("ub") && col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select(col("ua"), col("ub"), col("sid_a"), col("sid_b"),
+        (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b"))).as("ov_ms"))
+      .distinct() // a pair of sessions sharing several days counts once
+      .groupBy("ua", "ub")
+      .agg(sum(col("ov_ms")).as("ov_ms"))
+    ov.join(tot.select(col("user_id").as("ua"), col("total_ms")), "ua")
+      .select(col("ua"), col("ub"), col("ov_ms"),
+        floor(lit(1000.0) * col("ov_ms") / col("total_ms")).cast("long").as("sov_milli"))
+  }
+
+  /** W6 trip completion (reference APCompletion.scala:213-261): sessions
+    * whose observed endpoints are a PARTIAL view of the user's modal OD
+    * pattern are extended to the full pattern using OD-interval arithmetic
+    * — a typed mapGroups kernel (Kernels.sessionizeOD/modalOD/completeTrips,
+    * pure functions unit-tested in KernelsSpec); the oracle replicates the
+    * arithmetic relationally.
+    */
+  def q43_trip_completion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3)) // (ms, event_id) order
+        val sessions = Kernels.sessionizeOD(evs.map(e => (e._2, e._4)).toSeq, 1800000L)
+        val modal = Kernels.modalOD(sessions)
+        Kernels.completeTrips(sessions, modal).zip(sessions).zipWithIndex.map {
+          case (((cs, ce, done), s), i) =>
+            (uid, (i + 1).toLong, s.first, s.last, cs, ce, done)
+        }
+      }
+      .toDF("user_id", "session_id", "first_type", "last_type",
+        "comp_start_ms", "comp_end_ms", "completed")
   }
 
   /** The flagship ER pipeline as a registered query: documents → interleaved

@@ -53,6 +53,44 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.assignToCenters(50000, centers, dc = 5400) == 0)
   }
 
+  test("sessionizeOD: gap splits, endpoints tracked in order") {
+    val evs = Seq(
+      (0L, "a"), (1000L, "b"), (2000L, "c"), // session 1: a→c
+      (2000L + 1800001L, "x"), (2000L + 1800001L + 1000L, "y")) // gap > 30 min → session 2
+    val s = Kernels.sessionizeOD(evs, 1800000L)
+    assert(s.length == 2)
+    assert(s(0) == Kernels.SessionOD("a", "c", 0L, 2000L))
+    assert(s(1).first == "x" && s(1).last == "y")
+    assert(Kernels.sessionizeOD(Seq.empty, 1800000L).isEmpty)
+    assert(Kernels.sessionizeOD(Seq((5L, "z")), 1800000L) ==
+      Vector(Kernels.SessionOD("z", "z", 5L, 5L)))
+  }
+
+  test("modalOD: majority wins, ties break lexicographically") {
+    def s(f: String, l: String) = Kernels.SessionOD(f, l, 0, 1)
+    assert(Kernels.modalOD(Seq(s("a", "b"), s("a", "b"), s("c", "d"))) == ("a", "b"))
+    assert(Kernels.modalOD(Seq(s("c", "d"), s("a", "b"))) == ("a", "b")) // tie → lex
+  }
+
+  test("completeTrips: 4 cases — full match, missing head, missing tail, both") {
+    def s(f: String, l: String, st: Long, en: Long) = Kernels.SessionOD(f, l, st, en)
+    val modal = ("origin", "dest")
+    val headI = Kernels.odIntervalMs("origin", "mid") // modal-origin → observed-first
+    val tailI = Kernels.odIntervalMs("mid", "dest")   // observed-last → modal-dest
+    val out = Kernels.completeTrips(Seq(
+      s("origin", "dest", 100, 200), // exact pattern: untouched
+      s("mid", "dest", 100, 200),    // missing head
+      s("origin", "mid", 100, 200),  // missing tail
+      s("mid", "mid", 100, 200)),    // missing both
+      modal)
+    assert(out(0) == (100L, 200L, false))
+    assert(out(1) == (100L - headI, 200L, true))
+    assert(out(2) == (100L, 200L + tailI, true))
+    assert(out(3) == (100L - headI, 200L + tailI, true))
+    // interval dim is deterministic and positive
+    assert(headI >= 300000L && headI <= 700000L)
+  }
+
   test("kdeCenters is deterministic for a fixed (sorted) input") {
     val times = Array(100.0, 200.0, 300.0, 30000.0, 30100.0)
     val a = Kernels.kdeCenters(times)

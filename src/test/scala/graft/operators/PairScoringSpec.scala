@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.eval.Eval
+import graft.model.{Doc, Span}
+import graft.pipeline.EntityResolution
+import graft.functions.TextSim
+import org.apache.spark.sql.functions._
+
+class PairScoringSpec extends SparkSpec {
+
+  private val cfg = PairScoring.ScoreConfig()
+
+  test("tokenLcs: identity, disjoint, subsequence, order sensitivity") {
+    assert(TextSim.tokenLcs(Seq("a", "b", "c"), Seq("a", "b", "c")) == 3)
+    assert(TextSim.tokenLcs(Seq("a", "b"), Seq("x", "y")) == 0)
+    assert(TextSim.tokenLcs(Seq("a", "x", "b", "y", "c"), Seq("a", "b", "c")) == 3)
+    // reversal destroys in-order alignment (unlike set similarity)
+    assert(TextSim.tokenLcs(Seq("a", "b", "c", "d"), Seq("d", "c", "b", "a")) == 1)
+    assert(TextSim.tokenLcs(Seq.empty, Seq("a")) == 0)
+  }
+
+  test("alignScore: 1.0 on identical, monotone in alignment, decay favors early ranks") {
+    val t = Seq("q", "w", "e", "r", "t", "y")
+    assert(math.abs(PairScoring.alignScore(t, t, 0.05, 0.5) - 1.0) < 1e-12)
+    val partial = PairScoring.alignScore(t, Seq("q", "w", "e"), 0.05, 0.5)
+    assert(partial > 0.5 && partial < 1.0) // full prefix of the shorter side
+    val none = PairScoring.alignScore(t, Seq("z1", "z2"), 0.05, 0.5)
+    assert(none == 0.0)
+    // with decay, aligning 3 of 6 scores MORE than 3/6 raw coverage terms
+    // would suggest (early ranks dominate the geometric normalizer)
+    val half = PairScoring.alignScore(t, Seq("q", "w", "e", "n1", "n2", "n3"), 0.5, 1.0)
+    val flat = PairScoring.alignScore(t, Seq("q", "w", "e", "n1", "n2", "n3"), 0.0, 1.0)
+    assert(half > flat, s"decayed $half should exceed flat $flat")
+  }
+
+  test("exclusiveConflict: disjoint strong ids veto, shared or absent ids don't") {
+    assert(PairScoring.exclusiveConflict(Seq("xid:1", "m1"), Seq("xid:2", "m1"), "xid:"))
+    assert(!PairScoring.exclusiveConflict(Seq("xid:1", "m1"), Seq("xid:1", "m2"), "xid:"))
+    assert(!PairScoring.exclusiveConflict(Seq("m1"), Seq("xid:2"), "xid:")) // one side silent
+    assert(!PairScoring.exclusiveConflict(Seq("xid:1"), Seq("xid:1", "xid:2"), "xid:")) // overlap
+    assert(!PairScoring.exclusiveConflict(Seq("xid:1"), Seq("xid:2"), "")) // disabled
+  }
+
+  test("conflict elimination flips a would-be false merge end-to-end (M7)") {
+    import spark.implicits._
+    // two docs with IDENTICAL text + shared weak media, but disjoint strong
+    // identity claims — without the veto they must merge; with it they must not
+    def doc(id: String, xid: String) = Doc(id,
+      ("alpha beta gamma delta epsilon zeta".split(" ").zipWithIndex.map {
+        case (t, i) => Span("text", t, "", i)
+      } ++ Seq(
+        Span("media", "", "dev_shared_1", 100), Span("media", "", "dev_shared_2", 101),
+        Span("media", "", s"xid:$xid", 102))).toSeq)
+    val docs = Seq(doc("d1", "AAA"), doc("d2", "BBB")).toDF()
+
+    val vetoOn = EntityResolution.run(spark, docs)
+    val onClusters = vetoOn.assignments.select("cluster_id").distinct().count()
+    assert(onClusters == 2, "disjoint xid claims must veto the merge")
+
+    val vetoOff = EntityResolution.run(spark, docs,
+      EntityResolution.PipelineConfig(scoring = cfg.copy(exclusivePrefix = "")))
+    val offClusters = vetoOff.assignments.select("cluster_id").distinct().count()
+    assert(offClusters == 1, "without the veto the identical docs merge (false merge)")
+  }
+
+  test("weighted jaccard arrays: symmetric, bounded, idf-sensitive") {
+    val w = PairScoring.weightedJaccardArrays(
+      Seq("a", "b"), Seq(1.0, 3.0), Seq("b", "c"), Seq(3.0, 1.0))
+    assert(math.abs(w - 3.0 / 5.0) < 1e-12)
+    assert(PairScoring.weightedJaccardArrays(Seq.empty, Seq.empty, Seq.empty, Seq.empty) == 0.0)
+  }
+}
