@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+    ext.injectFunction(GraftExtensions.tokenOverlapDescriptor)
   }
 }
 
@@ -40,13 +41,22 @@ object GraftExtensions {
         intLit(children(1), "k"), intLit(children(2), "seedOffset"))
     })
 
+  val tokenOverlapDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("token_overlap_milli"),
+    new ExpressionInfo(classOf[graft.functions.TokenOverlapExpression].getName, "token_overlap_milli"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "token_overlap_milli expects exactly 2 arguments")
+      graft.functions.TokenOverlapExpression(children.head, children(1))
+    })
+
   /** Idempotently register the functions into an EXISTING session (for
     * sessions built without `spark.sql.extensions`); afterwards they are
     * usable from SQL and via `call_function("jaro_winkler", a, b)`.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(jaroWinklerDescriptor, minhashSigDescriptor).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(jaroWinklerDescriptor, minhashSigDescriptor, tokenOverlapDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
   }
 }

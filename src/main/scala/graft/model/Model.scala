@@ -17,13 +17,13 @@ final case class GoldCluster(doc_id: String, entity_id: String)
 /** A labeled pair evaluated AT a shared blocking key — mirrors the
   * reference's IdMap of high-confidence pairs (FilterGroundTruth.scala:15-31).
   */
-final case class LabeledPair(doc_id_a: String, doc_id_b: String, block_key: String, is_match: Boolean)
+final case class LabeledPair(doc_id_a: String, doc_id_b: String, block_key: Long, is_match: Boolean)
 
 /** Blocking-stage output row. */
-final case class BlockEntry(block_key: String, doc_id: String)
+final case class BlockEntry(block_key: Long, doc_id: String)
 
 /** Candidate pair after the block self-join (doc_id_a < doc_id_b). */
-final case class CandidatePair(doc_id_a: String, doc_id_b: String, block_key: String)
+final case class CandidatePair(doc_id_a: String, doc_id_b: String, block_key: Long)
 
 /** Scored pair: three evidence channels + blended score
   * (reference analogue: ol_1/ol_2 blend AMPI.scala:298-306,385-392, plus
@@ -33,7 +33,7 @@ final case class CandidatePair(doc_id_a: String, doc_id_b: String, block_key: St
 final case class ScoredPair(
     doc_id_a: String,
     doc_id_b: String,
-    block_key: String,
+    block_key: Long,
     sim_text: Double,
     sim_media: Double,
     sim_align: Double,

@@ -33,26 +33,37 @@ object Blocking {
           s => lower(s.getField("media_ref"))),
         t => length(t) > 0))
 
-  /** Sorted-neighborhood key: prefix of the concatenation of the first
-    * `headTokens` normalized text tokens. Docs of the same entity share it
-    * unless a typo hits the very head of the name.
+  /** Block keys are 64-bit LONGS, not strings: family id in the top 4 bits
+    * (provenance survives for diagnostics) + 60 hash bits. Long keys carry
+    * ~5× fewer bytes than the string form through every blocking shuffle,
+    * cache, and sort — measured as the difference between the candidate
+    * join scaling at 2.5× and >3× on 8 threads. A 60-bit within-family
+    * collision merges two unrelated blocks with prob ~2^-60 per key pair —
+    * a few spurious candidate pairs for the scorer to reject, never a
+    * correctness risk.
     */
-  def snKey(tokens: Column, headTokens: Int = 2, prefixLen: Int = 10): Column =
-    concat(lit("sn:"), substring(concat_ws("", slice(tokens, 1, headTokens)), 1, prefixLen))
+  object Family {
+    val Sn1 = 1L; val Sn2 = 2L; val Mh = 3L; val Md = 4L; val Tk = 5L
+    val Refined = 6L; val Chain = 7L
+  }
+
+  /** famTag(f, h) = (f << 60) | (h >>> 4). */
+  def famTag(fam: Long, h: Column): Column =
+    shiftleft(lit(fam), 60).bitwiseOR(shiftrightunsigned(h, 4))
 
   /** Typo-robust sorted-neighborhood keys: one key per head token position
     * (sn1 = prefix of token 1, sn2 = prefix of token 2). A typo in either
     * head token still leaves the OTHER key shared, so recall survives
-    * single-head-token corruption (the failure mode of the concatenated
+    * single-head-token corruption (the failure mode of a concatenated
     * key); a pair must lose both heads AND all minhash bands to be missed.
     */
   def snKeys(tokens: Column, prefixLen: Int = 8): Column = {
     val k1 = when(size(tokens) >= 1,
-      array(concat(lit("sn1:"), substring(element_at(tokens, 1), 1, prefixLen))))
-      .otherwise(array().cast("array<string>"))
+      array(famTag(Family.Sn1, xxhash64(substring(element_at(tokens, 1), 1, prefixLen)))))
+      .otherwise(array().cast("array<long>"))
     val k2 = when(size(tokens) >= 2,
-      array(concat(lit("sn2:"), substring(element_at(tokens, 2), 1, prefixLen))))
-      .otherwise(array().cast("array<string>"))
+      array(famTag(Family.Sn2, xxhash64(substring(element_at(tokens, 2), 1, prefixLen)))))
+      .otherwise(array().cast("array<long>"))
     concat(k1, k2)
   }
 
@@ -86,46 +97,12 @@ object Blocking {
 
   /** LSH band keys from a precomputed signature COLUMN (pass a projected
     * attribute, not the minhashSig expression, so the signature is
-    * evaluated once per row): band key = family + band index + xxhash64 of
-    * the band's signature slice.
+    * evaluated once per row): band key = famTag(family, xxhash64(band
+    * slice, band index)).
     */
-  def bandKeysFromSig(sig: Column, numBands: Int, rowsPerBand: Int, family: String): Column =
+  def bandKeysFromSig(sig: Column, numBands: Int, rowsPerBand: Int, family: Long): Column =
     transform(sequence(lit(0), lit(numBands - 1)), b =>
-      concat(lit(family), b.cast("string"), lit(":"),
-        conv(xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b).cast("string"), 10, 16)))
-
-  /** Convenience single-expression band keys (small band counts only —
-    * prefer the staged minhashSig/bandKeysFromSig path used by block()).
-    */
-  def minhashBandKeys(tokens: Column, numBands: Int = 16, rowsPerBand: Int = 2,
-                      shingleK: Int = 2, family: String = "mh", seedOffset: Int = 0): Column = {
-    val sh = shingles(tokens, shingleK)
-    val keys = bandKeysFromSig(minhashSig(sh, numBands * rowsPerBand, seedOffset),
-      numBands, rowsPerBand, family)
-    // empty token list => no LSH keys (avoid a giant "empty" block)
-    when(size(tokens) === 0, array().cast("array<string>")).otherwise(keys)
-  }
-
-  /** All blocking keys for a doc as one array column: sorted-neighborhood
-    * key + shingle-minhash bands (precision family) + optionally
-    * token-set-minhash bands (recall family, robust to heavy per-token
-    * noise — but a liability when the corpus shares a small vocabulary:
-    * token-SET similarity of unrelated docs is then high and the family
-    * floods the candidate join; set tokenBands=0 to disable). The two LSH
-    * families use disjoint hash-seed ranges and key prefixes.
-    */
-  def blockKeys(spans: Column, numBands: Int = 16, rowsPerBand: Int = 2,
-                tokenBands: Int = -1): Column = {
-    val toks = textTokens(spans)
-    val tb = if (tokenBands < 0) math.max(6, (numBands * 3) / 4) else tokenBands
-    val base = array_union(
-      when(size(toks) === 0, array().cast("array<string>"))
-        .otherwise(array(snKey(toks))),
-      minhashBandKeys(toks, numBands, rowsPerBand, shingleK = 2, family = "mh"))
-    if (tb == 0) base
-    else array_union(base,
-      minhashBandKeys(toks, tb, rowsPerBand, shingleK = 1, family = "tk", seedOffset = 1000))
-  }
+      famTag(family, xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b)))
 
   /** Staged per-doc block-key derivation: tokens → shingles → one-pass
     * minhash signatures → band keys, each step a separate PROJECTION so
@@ -146,36 +123,43 @@ object Blocking {
     // analogue: SIG station co-occurrence, SIG.scala:82-87); hot shared
     // tokens produce oversized blocks that the block-size cap removes
     val toked = docs.select(col("doc_id"), textTokens(col("spans")).as("toks"),
-      transform(mediaTokens(col("spans")), t => concat(lit("md:"), t)).as("md"))
+      mediaTokens(col("spans")).as("md"))
     val shingled = toked.select(col("doc_id"), col("toks"), col("md"),
       shingles(col("toks"), 2).as("sh"))
     // refinement sub-keys for HOT blocks (block() below): two independent
-    // content-derived minhashes (dedicated seed range, never used by band
-    // keys) — same-entity docs agree on each with prob ≈ their Jaccard, so
-    // splitting a hot block by them preserves within-entity recall; docs
-    // with no text fall back to a hash of their media-token set
+    // content-derived 3-minhash keys (dedicated seed range, never used by
+    // band keys) — same-entity docs agree on a family with prob ≈ Jaccard³
+    // (≈0.73 at j=0.9; either-of-two ≈0.93, and the representative chain
+    // below catches the remainder), while an unrelated pair that merely
+    // shares a few hot tokens collides at j³ ≈ 0.001–0.04 — a single
+    // minhash (collision prob = j) floods hot sub-blocks with junk pairs
+    // (measured: 2.5M junk pairs at 300k docs). Docs with no text fall
+    // back to a hash of their media-token set.
     val sigCols = Seq(
       graft.functions.MinhashSigExpression.minhashSigNative(col("sh"), numBands * rowsPerBand, 0).as("sig_mh"),
-      graft.functions.MinhashSigExpression.minhashSigNative(col("sh"), 2, 5000).as("refine")) ++
+      graft.functions.MinhashSigExpression.minhashSigNative(col("sh"), 6, 5000).as("refine")) ++
       (if (tb > 0) Seq(graft.functions.MinhashSigExpression.minhashSigNative(array_distinct(col("toks")), tb * tkRows, 1000).as("sig_tk"))
        else Seq.empty)
     val sigged = shingled.select(Seq(col("doc_id"), col("toks"), col("md")) ++ sigCols: _*)
     val lshKeys =
       if (tb > 0)
-        concat(bandKeysFromSig(col("sig_mh"), numBands, rowsPerBand, "mh"),
-          bandKeysFromSig(col("sig_tk"), tb, tkRows, "tk"))
-      else bandKeysFromSig(col("sig_mh"), numBands, rowsPerBand, "mh")
+        concat(bandKeysFromSig(col("sig_mh"), numBands, rowsPerBand, Family.Mh),
+          bandKeysFromSig(col("sig_tk"), tb, tkRows, Family.Tk))
+      else bandKeysFromSig(col("sig_mh"), numBands, rowsPerBand, Family.Mh)
     val refine = (i: Int) =>
-      when(size(col("toks")) > 0, element_at(col("refine"), i + 1))
+      when(size(col("toks")) > 0,
+        xxhash64(element_at(col("refine"), 3 * i + 1), element_at(col("refine"), 3 * i + 2),
+          element_at(col("refine"), 3 * i + 3)))
         .otherwise(xxhash64(col("md"), lit(5000 + i)))
+    val mdKeys = transform(col("md"), t => famTag(Family.Md, xxhash64(t)))
     sigged.select(col("doc_id"),
       refine(0).as("refine0"), refine(1).as("refine1"),
       explode(
-        when(size(col("toks")) === 0 && size(col("md")) === 0, array().cast("array<string>"))
+        when(size(col("toks")) === 0 && size(col("md")) === 0, array().cast("array<long>"))
           .otherwise(array_union(
-            when(size(col("toks")) === 0, col("md"))
-              .otherwise(array_union(array_union(snKeys(col("toks")), lshKeys), col("md"))),
-            array().cast("array<string>"))))
+            when(size(col("toks")) === 0, mdKeys)
+              .otherwise(array_union(array_union(snKeys(col("toks")), lshKeys), mdKeys)),
+            array().cast("array<long>"))))
         .as("block_key"))
   }
 
@@ -213,24 +197,24 @@ object Blocking {
     * Counters record hot keys/rows and both recovery paths; the returned
     * DataFrame is persisted AND materialized (callers may unpersist).
     */
-  def block(docs: DataFrame, numBands: Int = 16, rowsPerBand: Int = 3,
+  def block(docs: DataFrame, numBands: Int = 12, rowsPerBand: Int = 4,
             maxBlockSize: Int = 64, tokenBands: Int = 0): (DataFrame, Map[String, Long]) = {
     import org.apache.spark.sql.expressions.Window
     val exploded = keyedDocs(docs, numBands, rowsPerBand, tokenBands).persist()
-    // key-frequency stats → cap, via hash aggregation + equi-join: the
-    // partial (map-side) aggregation shrinks the key rows to ~#distinct
-    // keys before the shuffle, and the join avoids the full sort a
-    // count-over-window would pay on the exploded rows.
+    // key-frequency stats → cap, via hash aggregation + ONE equi-join back
+    // (small/hot routed by filter on the joined size): the partial
+    // (map-side) aggregation shrinks the key rows to ~#distinct keys before
+    // the shuffle, the join avoids the full sort a count-over-window would
+    // pay on the exploded rows, and joining once instead of once-per-route
+    // halves the largest shuffle of the stage.
     val sizes = exploded.groupBy("block_key").agg(count(lit(1)).as("block_size")).persist()
-    val small = exploded
-      .join(sizes.where(col("block_size") <= maxBlockSize).select("block_key"), "block_key")
+    val keyed = exploded.join(sizes, "block_key").persist()
+    val small = keyed.where(col("block_size") <= maxBlockSize)
       .select(col("block_key"), col("doc_id"))
-    val hot = exploded
-      .join(sizes.where(col("block_size") > maxBlockSize).select("block_key"), "block_key")
+    val hot = keyed.where(col("block_size") > maxBlockSize)
       .select(col("block_key"), col("doc_id"),
-        concat(col("block_key"), lit(":r0:"), conv(col("refine0").cast("string"), 10, 16)).as("r0key"),
-        concat(col("block_key"), lit(":r1:"), conv(col("refine1").cast("string"), 10, 16)).as("r1key"))
-      .persist()
+        famTag(Family.Refined, xxhash64(col("block_key"), col("refine0"), lit(0))).as("r0key"),
+        famTag(Family.Refined, xxhash64(col("block_key"), col("refine1"), lit(1))).as("r1key"))
     // path 1: refined sub-blocks from BOTH families (OR-recall)
     val refined = hot.select(explode(array(col("r0key"), col("r1key"))).as("block_key"), col("doc_id"))
     val rsizes = refined.groupBy("block_key").agg(count(lit(1)).as("rsize")).persist()
@@ -250,7 +234,7 @@ object Blocking {
       .withColumn("rn", row_number().over(w))
       .withColumn("prev", lag(col("doc_id"), 1).over(w))
       .where(col("prev").isNotNull)
-      .select(concat(col("block_key"), lit(":c"), col("rn")).as("block_key"),
+      .select(famTag(Family.Chain, xxhash64(col("block_key"), col("rn"))).as("block_key"),
         explode(array(col("prev"), col("doc_id"))).as("doc_id"))
     val kept = small.unionByName(refinedKept).unionByName(chainRows).persist()
     val blockingRows = kept.count() // materialize before unpersisting parents
@@ -260,7 +244,7 @@ object Blocking {
     val rKept = rsizes
       .agg(coalesce(sum(when(col("rsize") <= maxBlockSize && col("rsize") >= 2, 1L).otherwise(0L)), lit(0L)))
       .collect()(0).getLong(0)
-    exploded.unpersist(); sizes.unpersist(); hot.unpersist(); rsizes.unpersist()
+    exploded.unpersist(); sizes.unpersist(); keyed.unpersist(); rsizes.unpersist()
     (kept, Map(
       "blocking_rows" -> blockingRows,
       "capped_block_keys" -> hotStats.getLong(0),

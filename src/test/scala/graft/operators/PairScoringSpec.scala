@@ -64,6 +64,24 @@ class PairScoringSpec extends SparkSpec {
     assert(offClusters == 1, "without the veto the identical docs merge (false merge)")
   }
 
+  test("native token_overlap_milli matches the kernel multiset ratio (incl. duplicates)") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a", "a", "a"), Seq("a", "a", "a")),      // duplicates must count
+      (Seq("a", "a", "b"), Seq("a", "c", "c")),
+      (Seq("x"), Seq("y")),
+      (Seq("a", "b"), Seq("b", "a", "z")))
+    val df = cases.toDF("ta", "tb")
+      .withColumn("m", graft.functions.TokenOverlapExpression.tokenOverlapMilli(col("ta"), col("tb")))
+    val got = df.select("m").as[Int].collect().toSeq
+    val want = cases.map { case (a, b) =>
+      math.floor(PairScoring.tokenOverlapRatio(a, b) * 1000).toInt
+    }
+    assert(got == want, s"$got != $want")
+  }
+
   test("weighted jaccard arrays: symmetric, bounded, idf-sensitive") {
     val w = PairScoring.weightedJaccardArrays(
       Seq("a", "b"), Seq(1.0, 3.0), Seq("b", "c"), Seq(3.0, 1.0))
