@@ -78,23 +78,6 @@ object Blocking {
           sequence(lit(1), size(tokens) - lit(k - 1)),
           i => concat_ws(" ", slice(tokens, i, lit(k)))))
 
-  /** One-pass MinHash signature: k minhashes computed in a SINGLE
-    * traversal of the shingle array —
-    * `aggregate(sh, [MaxValue]*k, (acc, s) -> zip_with(acc, hashes(s), least))`.
-    * xxhash64(s, i) with the row index as an extra column gives k
-    * independent hash families without leaving codegen.
-    *
-    * This shape matters: inlining `array_min(transform(sh, ...))` once per
-    * signature component re-evaluates the shingle expression k times per
-    * row (measured 60 ms/doc at k=36); the one-pass fold is ~1000× cheaper.
-    */
-  def minhashSig(sh: Column, k: Int, seedOffset: Int): Column =
-    aggregate(sh, array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(seedOffset), lit(seedOffset + k - 1)), i => xxhash64(s, i)),
-        (x, y) => least(x, y)))
-
   /** LSH band keys from a precomputed signature COLUMN (pass a projected
     * attribute, not the minhashSig expression, so the signature is
     * evaluated once per row): band key = famTag(family, xxhash64(band

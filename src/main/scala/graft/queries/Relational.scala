@@ -184,13 +184,26 @@ object Relational {
   /** J3 re-expressed: day-overlap pairs via exploded equi-join on the day
     * key (the distributed replacement for the reference's broadcast
     * crossJoin + intersect, MatchPerMonth.scala:96-111).
+    *
+    * The day key is STRUCTURALLY hot — every active user lands in every
+    * day's block — so the join is SALTED (north rule: "salted
+    * repartitioning for hot blocking keys"): side A carries a
+    * deterministic salt hash(ua) % S, side B is replicated across all S
+    * salt values, and the join key becomes (day, salt). Every (ua, ub,
+    * day) row still joins exactly once (at A's salt), so results are
+    * bit-identical, but each hot day block now splits into S parallel
+    * tasks of 1/S the size — the single join no longer serializes on the
+    * largest day at scale.
     */
   def q16_day_overlap_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
     val days = t(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     val a = days.select(col("user_id").as("ua"), col("day"))
+      .withColumn("salt", pmod(xxhash64(col("ua")), lit(salts)))
     val b = days.select(col("user_id").as("ub"), col("day"))
-    a.join(b, "day").where(col("ua") < col("ub"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    a.join(b, Seq("day", "salt")).where(col("ua") < col("ub"))
       .groupBy("ua", "ub").agg(count(lit(1)).as("shared_days"))
       .where(col("shared_days") >= 25)
   }

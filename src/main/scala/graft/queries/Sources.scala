@@ -21,15 +21,24 @@ object Sources {
   private def sfTag(dir: String): String =
     new java.io.File(dir).getName.replaceAll("[^a-zA-Z0-9.]", "_")
 
-  /** Write `df` to `path` once (marker-file-guarded); safe to call from
-    * every query invocation.
+  /** Write `df` to `path` once per SOURCE VERSION: the marker records a
+    * (name, length, mtime) signature of the source parquet files, so a
+    * regenerated testdata directory invalidates the derived copy instead
+    * of silently serving stale data. Safe to call from every query
+    * invocation.
     */
-  private def materializeOnce(path: String, marker: String)(write: String => Unit): Unit =
+  private def materializeOnce(srcDir: String, srcTable: String, path: String, marker: String)(
+      write: String => Unit): Unit =
     synchronized {
-      if (!Files.exists(Paths.get(marker))) {
+      val src = new java.io.File(s"$srcDir/$srcTable.parquet")
+      val parts = Option(if (src.isDirectory) src.listFiles() else Array(src)).getOrElse(Array.empty)
+      val sig = parts.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+      val m = Paths.get(marker)
+      if (!Files.exists(m) || Files.readString(m) != sig) {
         write(path)
-        Files.createDirectories(Paths.get(marker).getParent)
-        Files.writeString(Paths.get(marker), "ok")
+        Files.createDirectories(m.getParent)
+        Files.writeString(m, sig)
       }
     }
 
@@ -43,7 +52,7 @@ object Sources {
     */
   def q44_partitioned_scan(spark: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft-derived/${sfTag(dir)}/events_by_type"
-    materializeOnce(base, s"$base._READY") { p =>
+    materializeOnce(dir, "events", base, s"$base._READY") { p =>
       t(spark, dir, "events").write.mode("overwrite").partitionBy("event_type").parquet(p)
     }
     spark.read.parquet(base)
@@ -80,7 +89,7 @@ object Sources {
     */
   def q46_csv_scan(spark: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft-derived/${sfTag(dir)}/nation_csv"
-    materializeOnce(base, s"$base._READY") { p =>
+    materializeOnce(dir, "nation", base, s"$base._READY") { p =>
       t(spark, dir, "nation")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .write.mode("overwrite").option("header", "false").csv(p)

@@ -187,6 +187,11 @@ object Trajectory {
     val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("head").as("head_b"))
     a.join(b, Seq("lang", "source"))
       .where(col("doc_a") < col("doc_b") && length(col("head_a")) > 0 && length(col("head_b")) > 0)
+      // exact prune BEFORE the O(L²) kernel: lev(a,b) ≥ |len(a)−len(b)|,
+      // so lev_milli ≥ 900 requires 10·|Δlen| ≤ maxlen — anything else
+      // cannot pass the final filter (a theorem, not a heuristic)
+      .where(abs(length(col("head_a")) - length(col("head_b"))) * 10
+        <= greatest(length(col("head_a")), length(col("head_b"))))
       .withColumn("lev_milli",
         floor(lit(1000.0) * (lit(1.0) - levenshtein(col("head_a"), col("head_b"))
           / greatest(length(col("head_a")), length(col("head_b"))))).cast("long"))

@@ -82,6 +82,49 @@ class PairScoringSpec extends SparkSpec {
     assert(got == want, s"$got != $want")
   }
 
+  private def checkProp(p: org.scalacheck.Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("TopKAggregator: merge of partials equals global top-k for any split (property)") {
+    import org.scalacheck.{Gen, Prop}
+    val agg = new graft.functions.TopKAggregator(5)
+    val rowsGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(0.0, 1.0)))
+    checkProp(Prop.forAll(rowsGen, Gen.chooseNum(0, 100)) { (rows, cut) =>
+      // partition-independence: split anywhere, reduce each side, merge —
+      // must equal the single-buffer reduction (what Spark's partial
+      // aggregation relies on)
+      val global = rows.foldLeft(agg.zero)(agg.reduce)
+      val k = if (rows.isEmpty) 0 else cut % (rows.length + 1)
+      val (l, r) = rows.splitAt(k)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val mergeOk = agg.finish(merged) == agg.finish(global)
+      // and on duplicate-free input the result is the true top-5 under
+      // (score desc, id asc)
+      val correctOk = rows.distinct != rows || {
+        val want = rows.sortBy { case (id, s) => (-s, id) }.map(_._1).take(5)
+        agg.finish(global) == want
+      }
+      mergeOk && correctOk
+    })
+  }
+
+  test("tokenLcs agrees with a brute-force recursive LCS (property)") {
+    import org.scalacheck.{Gen, Prop}
+    def brute(a: List[String], b: List[String]): Int = (a, b) match {
+      case (x :: xs, y :: ys) =>
+        if (x == y) 1 + brute(xs, ys)
+        else math.max(brute(xs, b), brute(a, ys))
+      case _ => 0
+    }
+    val tok = Gen.oneOf("a", "b", "c")
+    checkProp(Prop.forAll(Gen.listOfN(7, tok), Gen.listOfN(7, tok)) { (a, b) =>
+      TextSim.tokenLcs(a, b) == brute(a, b)
+    })
+  }
+
   test("weighted jaccard arrays: symmetric, bounded, idf-sensitive") {
     val w = PairScoring.weightedJaccardArrays(
       Seq("a", "b"), Seq(1.0, 3.0), Seq("b", "c"), Seq(3.0, 1.0))
