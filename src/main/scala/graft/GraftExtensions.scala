@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.tokenOverlapDescriptor)
+    ext.injectFunction(GraftExtensions.spanTextTokensDescriptor)
+    ext.injectFunction(GraftExtensions.spanMediaTokensDescriptor)
   }
 }
 
@@ -41,6 +43,22 @@ object GraftExtensions {
         intLit(children(1), "k"), intLit(children(2), "seedOffset"))
     })
 
+  val spanTextTokensDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("span_text_tokens"),
+    new ExpressionInfo(classOf[graft.functions.SpanTokensExpression].getName, "span_text_tokens"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "span_text_tokens expects exactly 1 argument")
+      graft.functions.SpanTokensExpression(children.head, media = false)
+    })
+
+  val spanMediaTokensDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("span_media_tokens"),
+    new ExpressionInfo(classOf[graft.functions.SpanTokensExpression].getName, "span_media_tokens"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "span_media_tokens expects exactly 1 argument")
+      graft.functions.SpanTokensExpression(children.head, media = true)
+    })
+
   val tokenOverlapDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("token_overlap_milli"),
     new ExpressionInfo(classOf[graft.functions.TokenOverlapExpression].getName, "token_overlap_milli"),
@@ -54,7 +72,8 @@ object GraftExtensions {
     * usable from SQL and via `call_function("jaro_winkler", a, b)`.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(jaroWinklerDescriptor, minhashSigDescriptor, tokenOverlapDescriptor).foreach {
+    Seq(jaroWinklerDescriptor, minhashSigDescriptor, tokenOverlapDescriptor,
+        spanTextTokensDescriptor, spanMediaTokensDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -15,17 +15,31 @@ import org.apache.spark.sql.functions._
 object Blocking {
 
   /** Normalized text tokens of a doc: filter spans to kind='text',
-    * lowercase, strip non-alphanumerics, drop empties.
+    * lowercase, strip non-alphanumerics, drop empties — the native
+    * one-byte-scan expression (SpanTokensExpression; a regex-per-span
+    * column pipeline otherwise runs twice per doc per pipeline). Callers
+    * must have GraftExtensions registered in the session (all operator
+    * entry points do this).
     */
   def textTokens(spans: Column): Column =
+    graft.functions.SpanTokensExpression.spanTextTokens(spans)
+
+  /** Normalized media_ref tokens (kind='media'), deduplicated. */
+  def mediaTokens(spans: Column): Column =
+    graft.functions.SpanTokensExpression.spanMediaTokens(spans)
+
+  /** The pure-column formulations the native expressions replace — kept as
+    * the executable equivalence spec (BlockingSpec asserts native ==
+    * columnar on perturbed corpora).
+    */
+  private[graft] def textTokensColumnar(spans: Column): Column =
     filter(
       transform(
         filter(spans, s => s.getField("kind") === "text"),
         s => regexp_replace(lower(s.getField("text")), "[^a-z0-9]", "")),
       t => length(t) > 0)
 
-  /** Normalized media_ref tokens (kind='media'), deduplicated. */
-  def mediaTokens(spans: Column): Column =
+  private[graft] def mediaTokensColumnar(spans: Column): Column =
     array_distinct(
       filter(
         transform(

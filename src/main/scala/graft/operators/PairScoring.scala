@@ -50,6 +50,13 @@ object PairScoring {
       /** γ₂-style inner blend between the decayed-coverage term and the
         * raw Q/(Q+P+R) term (AMPI.scala:393-405) */
       alignBlend: Double = 0.5,
+      /** M3's cost-weighted denominator (reference Model.scala:529-535:
+        * x₁·cost_co + x₂·cost_afcOnly + x₃·cost_apOnly with weights
+        * (0.36, 0.14, 0.5)): the alignment ratio becomes
+        * Q / (x₁·Q + x₂·P + x₃·R). (1,1,1) = the unweighted Q+P+R form. */
+      alignCostCo: Double = 1.0,
+      alignCostAOnly: Double = 1.0,
+      alignCostBOnly: Double = 1.0,
       /** Candidate PRESCREEN (reference analogue: the top-station
         * intersection prefilter applied before any pair is scored,
         * Model.scala:432-441): when the exact token-overlap ratio
@@ -58,8 +65,15 @@ object PairScoring {
         * over-generates (LSH bands fire on shared hot tokens); this is the
         * cheap second stage that keeps the expensive third stage spent on
         * plausible pairs only — measured ~10× scoring throughput on
-        * junk-dominated candidate sets. 0 disables. */
-      prescreenOverlap: Double = 0.5,
+        * junk-dominated candidate sets. 0 disables.
+        *
+        * RECALL-CRITICAL: exact-token overlap is only an approximation of
+        * char-level similarity — a true pair whose tokens are typo'd on
+        * BOTH sides can sit far below its JW/Levenshtein similarity (a
+        * doc with 3 of 4 name tokens edited scores overlap ≈ 0.43 while
+        * simText ≈ 0.85). The default stays well below the plausible
+        * true-pair floor; raise it only with corpus-specific evidence. */
+      prescreenOverlap: Double = 0.3,
       /** HARD CONFLICT ELIMINATION (reference M7,
         * MultiUserMatch.scala:104-121: a device observed ELSEWHERE at tap
         * time vetoes the pair regardless of similarity): media tokens
@@ -73,6 +87,7 @@ object PairScoring {
     * per-block dictionaries). weight(t) = ln(1 + N/df(t)).
     */
   def mediaIdf(docs: DataFrame, minDf: Long = 1): (Map[String, Double], Long) = {
+    graft.GraftExtensions.register(docs.sparkSession)
     val n = docs.count()
     val dfMap = docs
       .select(explode(Blocking.mediaTokens(col("spans"))).as("tok"))
@@ -92,6 +107,7 @@ object PairScoring {
     * Returns (doc_id, m_toks: array<string>, m_ws: array<double>).
     */
   def mediaFeatures(docs: DataFrame, nDocs: Long): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
     val toks = docs.select(col("doc_id"), explode(Blocking.mediaTokens(col("spans"))).as("tok"))
     // mediaTokens is distinct per doc => count(*) per token == document freq
     val w = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -139,7 +155,8 @@ object PairScoring {
     *    denominator, since Q+P+R = na+nb−Q.
     * 1.0 for identical sequences, → 0 for disjoint ones.
     */
-  def alignScore(textA: Seq[String], textB: Seq[String], decay: Double, blend: Double): Double = {
+  def alignScore(textA: Seq[String], textB: Seq[String], decay: Double, blend: Double,
+                 costCo: Double = 1.0, costAOnly: Double = 1.0, costBOnly: Double = 1.0): Double = {
     val na = textA.length; val nb = textB.length
     if (na == 0 || nb == 0) return 0.0
     val q = TextSim.tokenLcs(textA, textB)
@@ -148,7 +165,9 @@ object PairScoring {
       if (decay <= 0.0) n.toDouble
       else (1.0 - math.exp(-decay * n)) / (1.0 - math.exp(-decay))
     val decayed = geo(q) / geo(math.min(na, nb))
-    val qpr = q.toDouble / (na + nb - q)
+    // M3 weighted denominator (Model.scala:529-535), Q+P+R at (1,1,1)
+    val denom = costCo * q + costAOnly * (na - q) + costBOnly * (nb - q)
+    val qpr = if (denom <= 0.0) 0.0 else costCo * q / denom
     blend * decayed + (1.0 - blend) * qpr
   }
 
@@ -206,7 +225,8 @@ object PairScoring {
     val simMedia = weightedJaccardArrays(mToksA, mWsA, mToksB, mWsB)
     val simAlign =
       if (cfg.alignWeight <= 0.0) 0.0
-      else alignScore(ta, tb, cfg.alignDecay, cfg.alignBlend)
+      else alignScore(ta, tb, cfg.alignDecay, cfg.alignBlend,
+        cfg.alignCostCo, cfg.alignCostAOnly, cfg.alignCostBOnly)
     val mediaUsable = math.min(mToksA.size, mToksB.size) >= cfg.minMediaEvidence
     val base =
       if (simText < cfg.conflictTextFloor) 0.0
@@ -241,6 +261,7 @@ object PairScoring {
       nDocs: Long,
       cfg: ScoreConfig = ScoreConfig()): Dataset[ScoredPair] = {
     import spark.implicits._
+    graft.GraftExtensions.register(spark)
     // columnar feature extraction once per doc (not per pair)
     val media = mediaFeatures(docs, nDocs)
     val feats = docs.select(
@@ -296,6 +317,7 @@ object PairScoring {
       defaultIdf: Double,
       cfg: ScoreConfig = ScoreConfig()): Dataset[ScoredPair] = {
     import spark.implicits._
+    graft.GraftExtensions.register(spark)
     val feats = docs.select(
       col("doc_id"),
       Blocking.textTokens(col("spans")).as("toks"),

@@ -34,6 +34,19 @@ class PairScoringSpec extends SparkSpec {
     assert(half > flat, s"decayed $half should exceed flat $flat")
   }
 
+  test("alignScore M3 cost weights: reference (0.36,0.14,0.5) reweights the denominator") {
+    val a = Seq("p", "q", "r", "s")
+    val b = Seq("p", "q", "x", "y", "z")
+    // q=2, P=2, R=3; blend=0 isolates the ratio term
+    val unweighted = PairScoring.alignScore(a, b, 0.0, 0.0)
+    assert(math.abs(unweighted - 2.0 / 7.0) < 1e-12)
+    val weighted = PairScoring.alignScore(a, b, 0.0, 0.0, 0.36, 0.14, 0.5)
+    val want = 0.36 * 2 / (0.36 * 2 + 0.14 * 2 + 0.5 * 3)
+    assert(math.abs(weighted - want) < 1e-12)
+    // identical sequences stay 1.0 under any co-weight
+    assert(math.abs(PairScoring.alignScore(a, a, 0.0, 0.0, 0.36, 0.14, 0.5) - 1.0) < 1e-12)
+  }
+
   test("exclusiveConflict: disjoint strong ids veto, shared or absent ids don't") {
     assert(PairScoring.exclusiveConflict(Seq("xid:1", "m1"), Seq("xid:2", "m1"), "xid:"))
     assert(!PairScoring.exclusiveConflict(Seq("xid:1", "m1"), Seq("xid:1", "m2"), "xid:"))
@@ -123,6 +136,19 @@ class PairScoringSpec extends SparkSpec {
     checkProp(Prop.forAll(Gen.listOfN(7, tok), Gen.listOfN(7, tok)) { (a, b) =>
       TextSim.tokenLcs(a, b) == brute(a, b)
     })
+  }
+
+  test("prescreen keeps a true pair with heavy both-side typos (seed-99 regression)") {
+    // real missed pair from seed 99: 3 of 4 name tokens edited on each
+    // side => exact-token overlap 3/7 ≈ 0.43, while char-level sim ≈ 0.85;
+    // the prescreen default must sit below such pairs
+    val a = Seq("tpfidbis", "fdxvwlccr", "awpptmbr", "lxhvznri", "hot8", "hot8", "hot1")
+    val b = Seq("tpmidbs", "dxvwlccr", "awpptmbr", "lhvznri", "hotk", "hot8", "hot1")
+    assert(PairScoring.tokenOverlapRatio(a, b) < 0.5) // would die at 0.5
+    val (st, _, _, sc) = PairScoring.scorePairArrays(
+      a, Seq.empty, Seq.empty, b, Seq.empty, Seq.empty, cfg)
+    assert(st > 0.7, s"simText $st")
+    assert(sc > 0.6, s"score $sc — prescreen must not kill this pair")
   }
 
   test("weighted jaccard arrays: symmetric, bounded, idf-sensitive") {
