@@ -17,10 +17,11 @@ import org.apache.spark.sql.SparkSession
   * is 1.1× at 4 threads vs 2.4× at 8+, so 1→4 isolates algorithmic
   * scaling from the shared-memory-bus artifact a single box imposes; a
   * real N→4N cluster adds bandwidth with cores, see BENCH/BASELINE.md).
-  * The 4N leg runs SPARK_GRAFT_SCALE_REPS times (default 2, minimum wall
-  * reported) so a transient ambient-load spike cannot masquerade as a
-  * scaling defect; the long N leg runs SPARK_GRAFT_SCALE_REPS_N times
-  * (default 1 — noise averages out over its longer wall).
+  * Ambient host load varies by tens of percent over minutes on this box,
+  * so the legs are INTERLEAVED (N, 4N, N, 4N, 4N) and each leg reports its
+  * minimum wall over SPARK_GRAFT_SCALE_REPS_N (default 2) /
+  * SPARK_GRAFT_SCALE_REPS (default 3) runs — one slow window then cannot
+  * sink both sides of the ratio.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
   * (default 32), SPARK_GRAFT_BENCH_ENTITIES × SPARK_GRAFT_BENCH_DPE (ER
@@ -107,12 +108,18 @@ object Bench {
       val dpe = sys.env.getOrElse("SPARK_GRAFT_BENCH_DPE", "3").toInt
       val cfg = GenConfig(numEntities = entities, docsPerEntity = dpe, seed = 42L)
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
-      val repsN = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS_N", "1").toInt
-      def bestOf(threads: Int, r: Int): (Long, Double) =
-        (1 to r).map(_ => erRun(threads, cfg)).minBy(_._2)
-      val (n8, t8) = bestOf(nSmall, repsN)
-      val (n32, t32) = bestOf(nSmall * 4, reps)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      val repsN = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS_N", "2").toInt
+      // interleave the legs so a slow ambient window hits at most one run
+      // of each side, then take the best run per leg
+      val nRuns = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val fRuns = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      (0 until math.max(reps, repsN)).foreach { i =>
+        if (i < repsN) nRuns += erRun(nSmall, cfg)
+        if (i < reps) fRuns += erRun(nSmall * 4, cfg)
+      }
+      val (n8, t8) = nRuns.minBy(_._2)
+      val (n32, t32) = fRuns.minBy(_._2)
       require(n8 == n32, s"non-deterministic corpus: $n8 != $n32")
       val tp8 = n8 / t8
       val tp32 = n32 / t32

@@ -196,7 +196,7 @@ object Relational {
     * largest day at scale.
     */
   def q16_day_overlap_pairs(spark: SparkSession, dir: String): DataFrame = {
-    val salts = 8
+    val salts = 4 // replication factor: parallelism × 4 per day at 4× B-side shuffle volume
     val days = t(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     val a = days.select(col("user_id").as("ua"), col("day"))

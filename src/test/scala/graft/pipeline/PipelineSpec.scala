@@ -65,6 +65,21 @@ class PipelineSpec extends SparkSpec {
     all.unpersist(); allGold.unpersist()
   }
 
+  test("F1 gate holds across additional seeds (mini corpora)") {
+    // guards against single-seed blind spots: seed 99 once hid a
+    // prescreen-recall bug the seed-42 corpus never exercised
+    Seq(7L, 99L, 123L).foreach { seed =>
+      val c = GenConfig(numEntities = 150, docsPerEntity = 3, seed = seed)
+      val d = DocGen.docs(spark, c).toDF().cache()
+      val g = DocGen.gold(spark, c).toDF()
+      val res = EntityResolution.run(spark, d)
+      val m = Eval.pairwiseF1(res.assignments, EntityResolution.labeledPairs(res.blocking, g))
+      assert(m.f1 >= 0.99, s"seed $seed: F1 ${m.f1}")
+      assert(Eval.clusterEquality(res.assignments, g), s"seed $seed: clusters != gold")
+      res.release(); d.unpersist()
+    }
+  }
+
   test("span-sequence invariant holds through the pipeline") {
     // docs are never mutated by the pipeline; assert the invariant checker
     // itself: identical input => 0 violations, a mutated doc => >0
