@@ -33,6 +33,46 @@ object Eval {
     PairwiseMetrics(tp, fp, fn, p, r, f1)
   }
 
+  /** Rank@k (reference AMPI_rank_result.scala:23-41: a match counts as a
+    * hit when the ground-truth counterpart appears in the doc's top-k
+    * scored candidates): per doc, candidates rank by (score desc,
+    * counterpart asc) via the bounded TopKAggregator — no per-doc window —
+    * and a doc with at least one gold counterpart scores a hit iff any
+    * gold counterpart lands in its top-k. Returns (hits, evaluated docs,
+    * hit-rate).
+    */
+  def rankAtK(scoredPairs: DataFrame, gold: DataFrame, k: Int): (Long, Long, Double) = {
+    val spark = scoredPairs.sparkSession
+    // symmetric view: every pair contributes a candidate list entry to BOTH ends
+    val sym = scoredPairs.select(col("doc_id_a").as("doc_id"), col("doc_id_b").as("other"), col("score"))
+      .unionByName(scoredPairs.select(col("doc_id_b").as("doc_id"), col("doc_id_a").as("other"), col("score")))
+    // rank by score desc with deterministic tiebreak on the counterpart's
+    // dense index (TopKAggregator ids are longs; hash the counterpart)
+    val topk = graft.functions.TopKAggregator.topK(k)
+    val ranked = sym
+      .select(col("doc_id"), xxhash64(col("other")).as("oid"), col("other"), col("score"))
+    // map hashed id -> counterpart gold entity via a join back (hash is only
+    // an aggregator key; collisions are ~2^-64 and affect rank order only)
+    val lists = ranked.groupBy("doc_id").agg(topk(col("oid"), col("score")).as("top_ids"))
+    val ge = gold.select(col("doc_id"), col("entity_id"))
+    val withEnt = lists
+      .join(ge, "doc_id")
+      .select(col("doc_id"), col("entity_id"), explode(col("top_ids")).as("oid"))
+      .join(ranked.select(col("oid"), col("other")).dropDuplicates("oid"), "oid")
+      .join(ge.select(col("doc_id").as("other"), col("entity_id").as("other_entity")), "other")
+      .groupBy("doc_id")
+      .agg(max(when(col("entity_id") === col("other_entity"), 1L).otherwise(0L)).as("hit"))
+    // evaluate only docs that HAVE a gold counterpart (entity size > 1)
+    val multi = ge.groupBy("entity_id").agg(count(lit(1)).as("n"), collect_list(col("doc_id")).as("ds"))
+      .where(col("n") > 1)
+      .select(explode(col("ds")).as("doc_id"))
+    val evald = multi.join(withEnt, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .collect()(0)
+    val n = evald.getLong(0); val hits = evald.getLong(1)
+    (hits, n, if (n == 0) 1.0 else hits.toDouble / n)
+  }
+
   /** Exact cluster-membership equality: the partition induced by
     * `assignments` equals the partition induced by gold entity ids.
     * Checked by comparing canonicalized cluster signatures (min doc_id of

@@ -65,6 +65,13 @@ class PipelineSpec extends SparkSpec {
     all.unpersist(); allGold.unpersist()
   }
 
+  test("rank@k: every doc's gold counterpart appears in its top-3 scored candidates") {
+    val res = EntityResolution.run(spark, docs)
+    val (hits, n, rate) = Eval.rankAtK(res.scoredPairs, gold, k = 3)
+    info(s"rank@3 = $rate ($hits/$n)")
+    assert(n > 0 && rate >= 0.99, s"rank@3 $rate ($hits/$n)")
+  }
+
   test("F1 gate holds across additional seeds (mini corpora)") {
     // guards against single-seed blind spots: seed 99 once hid a
     // prescreen-recall bug the seed-42 corpus never exercised
