@@ -54,7 +54,9 @@ object Main {
       val labeled = EntityResolution.labeledPairs(res.blocking, gold)
       val m = Eval.pairwiseF1(res.assignments, labeled)
       val eq = Eval.clusterEquality(res.assignments, gold)
-      s""","f1":${m.f1},"precision":${m.precision},"recall":${m.recall},"cluster_equality":$eq"""
+      val (_, _, r3) = Eval.rankAtK(res.scoredPairs, gold, 3)
+      s""","f1":${m.f1},"precision":${m.precision},"recall":${m.recall},""" +
+        s""""rank_at_3":$r3,"cluster_equality":$eq"""
     } else ""
     val counters = res.counters.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
