@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tokenOverlapDescriptor)
     ext.injectFunction(GraftExtensions.spanTextTokensDescriptor)
     ext.injectFunction(GraftExtensions.spanMediaTokensDescriptor)
+    ext.injectFunction(GraftExtensions.qdotDescriptor)
   }
 }
 
@@ -59,6 +60,14 @@ object GraftExtensions {
       graft.functions.SpanTokensExpression(children.head, media = true)
     })
 
+  val qdotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("qdot64"),
+    new ExpressionInfo(classOf[graft.functions.QDotExpression].getName, "qdot64"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "qdot64 expects exactly 2 arguments")
+      graft.functions.QDotExpression(children.head, children(1))
+    })
+
   val tokenOverlapDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("token_overlap_milli"),
     new ExpressionInfo(classOf[graft.functions.TokenOverlapExpression].getName, "token_overlap_milli"),
@@ -73,7 +82,7 @@ object GraftExtensions {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(jaroWinklerDescriptor, minhashSigDescriptor, tokenOverlapDescriptor,
-        spanTextTokensDescriptor, spanMediaTokensDescriptor).foreach {
+        spanTextTokensDescriptor, spanMediaTokensDescriptor, qdotDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -83,9 +83,13 @@ object CorpusExpr {
   def quantizeVec(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — native
+    * expression (QDotExpression): the zip_with fold allocates the zipped
+    * array per pair, which dominates all-pairs cosine scans. Callers must
+    * have GraftExtensions registered (the embedding queries do).
+    */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.QDotExpression.qdot64(a, b)
 
   /** Exact integer squared norm of a quantized vector. */
   def qnorm2(a: Column): Column =

@@ -67,6 +67,9 @@ object Corpus {
     val bands = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))).as("band"))
+      // explicit partitioning: the band rows are tiny but the self-join
+      // explodes — don't let AQE coalesce the join to one task (see q39)
+      .repartition(spark.sparkContext.defaultParallelism, col("band"))
     val pairs = bands.select(col("band"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band"), col("doc_id").as("doc_b")), "band")
       .where(col("doc_a") < col("doc_b"))
@@ -85,8 +88,12 @@ object Corpus {
     * meaningless here).
     */
   def q21_dedup_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"),
-      array_distinct(tokens(col("text"))).as("toks"))
+    // repartition: pair-join parallelism must not inherit the scan's split
+    // count (see q39)
+    val d = docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("lang"), col("source"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(tokens(col("text"))).as("toks"))
     val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
     val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     a.join(b, Seq("lang", "source"))
@@ -119,7 +126,11 @@ object Corpus {
     * The baseline ANN path; IVF below is the scale path.
     */
   def q23_embed_cosine_topk(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
+    graft.GraftExtensions.register(spark)
+    // repartition: the broadcast cross join streams e — parallelism must
+    // not inherit the scan's split count (see q39)
+    val e = emb(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
     val queries = e.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
@@ -150,11 +161,13 @@ object Corpus {
     * scale paths (q20 MinHash-LSH, q25 IVF).
     */
   def q24_embed_neardup(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val nVecs = emb(spark, dir).count()
     require(nVecs <= NearDupBruteForceLimit,
       s"q24_embed_neardup is a brute-force all-pairs baseline; $nVecs vectors exceed " +
         s"the $NearDupBruteForceLimit cap. Use q20 (MinHash-LSH) or q25 (IVF) at scale.")
-    val e = emb(spark, dir).select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
+    val e = emb(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
     val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("nb"))
@@ -172,7 +185,9 @@ object Corpus {
     * cell_id instead of an all-pairs cross join.
     */
   def q25_embed_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
+    graft.GraftExtensions.register(spark)
+    val e = emb(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
     val cents = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("n2").as("cn2"))

@@ -199,10 +199,17 @@ object Relational {
     val salts = 4 // replication factor: parallelism × 4 per day at 4× B-side shuffle volume
     val days = t(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    // EXPLICIT partition count on the join inputs: the (user, day) relation
+    // is tiny relative to the pairs the join emits, so AQE's size-based
+    // coalescing would shrink the join to a couple of tasks and serialize
+    // the quadratic pair generation; an explicit repartition is preserved
+    val p = spark.sparkContext.defaultParallelism
     val a = days.select(col("user_id").as("ua"), col("day"))
       .withColumn("salt", pmod(xxhash64(col("ua")), lit(salts)))
+      .repartition(p, col("day"), col("salt"))
     val b = days.select(col("user_id").as("ub"), col("day"))
       .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+      .repartition(p, col("day"), col("salt"))
     a.join(b, Seq("day", "salt")).where(col("ua") < col("ub"))
       .groupBy("ua", "ub").agg(count(lit(1)).as("shared_days"))
       .where(col("shared_days") >= 25)

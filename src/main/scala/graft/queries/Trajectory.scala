@@ -181,7 +181,12 @@ object Trajectory {
     * unit-tested in TextSimSpec instead.
     */
   def q39_lev_similarity(spark: SparkSession, dir: String): DataFrame = {
+    // the pair join multiplies work ~30x per input row; repartition the
+    // streamed side so parallelism follows cores, not the input's split
+    // count (a small parquet is ONE split — a broadcast join would
+    // otherwise run every Levenshtein on a single thread)
     val d = t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("lang"), col("source"))
       .select(col("doc_id"), col("lang"), col("source"), substring(col("text"), 1, 64).as("head"))
     val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("head").as("head_a"))
     val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("head").as("head_b"))
