@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.spanTextTokensDescriptor)
     ext.injectFunction(GraftExtensions.spanMediaTokensDescriptor)
     ext.injectFunction(GraftExtensions.qdotDescriptor)
+    ext.injectFunction(GraftExtensions.simhashDescriptor)
+    ext.injectFunction(GraftExtensions.overlapLongDescriptor)
   }
 }
 
@@ -76,13 +78,30 @@ object GraftExtensions {
       graft.functions.TokenOverlapExpression(children.head, children(1))
     })
 
+  val simhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash16"),
+    new ExpressionInfo(classOf[graft.functions.SimhashExpression].getName, "simhash16"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "simhash16 expects exactly 1 argument")
+      graft.functions.SimhashExpression(children.head)
+    })
+
+  val overlapLongDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("overlap_milli_long"),
+    new ExpressionInfo(classOf[graft.functions.OverlapLongExpression].getName, "overlap_milli_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "overlap_milli_long expects exactly 2 arguments")
+      graft.functions.OverlapLongExpression(children.head, children(1))
+    })
+
   /** Idempotently register the functions into an EXISTING session (for
     * sessions built without `spark.sql.extensions`); afterwards they are
     * usable from SQL and via `call_function("jaro_winkler", a, b)`.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(jaroWinklerDescriptor, minhashSigDescriptor, tokenOverlapDescriptor,
-        spanTextTokensDescriptor, spanMediaTokensDescriptor, qdotDescriptor).foreach {
+        spanTextTokensDescriptor, spanMediaTokensDescriptor, qdotDescriptor,
+        simhashDescriptor, overlapLongDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -35,31 +35,33 @@ object Eval {
 
   /** Rank@k (reference AMPI_rank_result.scala:23-41: a match counts as a
     * hit when the ground-truth counterpart appears in the doc's top-k
-    * scored candidates): per doc, candidates rank by (score desc,
-    * counterpart asc) via the bounded TopKAggregator — no per-doc window —
-    * and a doc with at least one gold counterpart scores a hit iff any
-    * gold counterpart lands in its top-k. Returns (hits, evaluated docs,
-    * hit-rate).
+    * scored candidates): per doc, candidates rank by score desc with a
+    * deterministic tiebreak on xxhash64(counterpart) asc (the aggregator's
+    * id channel — NOT lexicographic counterpart order) via the bounded
+    * TopKAggregator — no per-doc window — and a doc with at least one gold
+    * counterpart scores a hit iff any gold counterpart lands in its top-k.
+    * Returns (hits, evaluated docs, hit-rate).
     */
   def rankAtK(scoredPairs: DataFrame, gold: DataFrame, k: Int): (Long, Long, Double) = {
     val spark = scoredPairs.sparkSession
     // symmetric view: every pair contributes a candidate list entry to BOTH ends
     val sym = scoredPairs.select(col("doc_id_a").as("doc_id"), col("doc_id_b").as("other"), col("score"))
       .unionByName(scoredPairs.select(col("doc_id_b").as("doc_id"), col("doc_id_a").as("other"), col("score")))
-    // rank by score desc with deterministic tiebreak on the counterpart's
-    // dense index (TopKAggregator ids are longs; hash the counterpart)
     val topk = graft.functions.TopKAggregator.topK(k)
-    val ranked = sym
-      .select(col("doc_id"), xxhash64(col("other")).as("oid"), col("other"), col("score"))
-    // map hashed id -> counterpart gold entity via a join back (hash is only
-    // an aggregator key; collisions are ~2^-64 and affect rank order only)
-    val lists = ranked.groupBy("doc_id").agg(topk(col("oid"), col("score")).as("top_ids"))
+    val lists = sym
+      .select(col("doc_id"), xxhash64(col("other")).as("oid"), col("score"))
+      .groupBy("doc_id").agg(topk(col("oid"), col("score")).as("top_ids"))
     val ge = gold.select(col("doc_id"), col("entity_id"))
+    // hashed id -> counterpart entity comes from GOLD (small, unique
+    // doc_ids), never from the full symmetric pair set — the round-2 shape
+    // dropDuplicates'd every pair row twice. Hash collisions are ~2^-64 and
+    // affect rank order only. Non-gold counterparts drop at the inner join,
+    // exactly as before.
+    val goldHash = ge.select(xxhash64(col("doc_id")).as("oid"), col("entity_id").as("other_entity"))
     val withEnt = lists
       .join(ge, "doc_id")
       .select(col("doc_id"), col("entity_id"), explode(col("top_ids")).as("oid"))
-      .join(ranked.select(col("oid"), col("other")).dropDuplicates("oid"), "oid")
-      .join(ge.select(col("doc_id").as("other"), col("entity_id").as("other_entity")), "other")
+      .join(goldHash, "oid")
       .groupBy("doc_id")
       .agg(max(when(col("entity_id") === col("other_entity"), 1L).otherwise(0L)).as("hit"))
     // evaluate only docs that HAVE a gold counterpart (entity size > 1)

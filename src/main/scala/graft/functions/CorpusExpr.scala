@@ -50,9 +50,11 @@ object CorpusExpr {
     floor(lit(1000.0) * size(array_intersect(a, b)) /
       size(array_union(a, b))).cast("long")
 
-  /** 16-bit SimHash over md5 token hashes with per-token counts as weights.
-    * Computed columnar (explode-free when given a token-count map is not
-    * needed — here direct from the token array): for bit i,
+  /** 16-bit SimHash over md5 token hashes — the pure-column formulation,
+    * kept as the executable equivalence SPEC of the native one-pass
+    * SimhashExpression (CorpusExprSpec asserts native == columnar on
+    * perturbed corpora). NOT for the hot path: this fold walks the token
+    * hashes once PER BIT (16 nested `aggregate` traversals). For bit i,
     * v_i = Σ_tokens (bit_i(h(tok)) ? 1 : -1); simhash bit i set iff v_i>0.
     */
   def simhash16(toks: Column): Column = {

@@ -103,17 +103,25 @@ object Corpus {
       .where(col("jacc_milli") >= 800)
   }
 
-  /** SimHash fingerprints: 16-bit simhash over md5 token hashes. Docs
-    * agreeing on the full simhash are near-dup candidates; output the
-    * fingerprint per doc plus its bucket size.
+  /** SimHash fingerprints: 16-bit simhash over md5 token hashes, computed
+    * by the native ONE-PASS SimhashExpression (each token md5'd once, all
+    * 16 bit-counters in that pass — the 16-nested-`aggregate` columnar
+    * fold it replaces walked the hash array once per bit and was the
+    * round-2 bench regression). Docs agreeing on the full simhash are
+    * near-dup candidates; output the fingerprint per doc plus its bucket
+    * size.
     */
   def q22_dedup_simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     // empty/whitespace-only docs are excluded on BOTH sides: the oracle
     // derives simhash via unnest (which drops zero-token docs), so emitting
-    // simhash=0 rows for them here would be a latent rows mismatch
+    // simhash=0 rows for them here would be a latent rows mismatch. The
+    // filter tests the raw text (has any non-space char ⟺ ≥1 token), so
+    // predicate pushdown cannot duplicate the tokenization into the filter.
     val d = docs(spark, dir)
-      .where(size(tokens(col("text"))) > 0)
-      .select(col("doc_id"), simhash16(tokens(col("text"))).as("simhash"))
+      .where(length(replace(col("text"), lit(" "), lit(""))) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimhashExpression.simhash16Native(tokens(col("text"))).as("simhash"))
     d.withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
   }
 

@@ -35,7 +35,10 @@ object Sources {
       val sig = parts.sortBy(_.getName)
         .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
       val m = Paths.get(marker)
-      if (!Files.exists(m) || Files.readString(m) != sig) {
+      // the data dir must ALSO exist: a selective tmp-cleaner can wipe the
+      // derived dataset while leaving the marker, which would otherwise
+      // skip the rewrite forever
+      if (!Files.exists(m) || Files.readString(m) != sig || !Files.exists(Paths.get(path))) {
         write(path)
         Files.createDirectories(m.getParent)
         Files.writeString(m, sig)
@@ -74,7 +77,8 @@ object Sources {
       """SELECT event_type FROM events_v
         |GROUP BY event_type ORDER BY COUNT(*) DESC, event_type ASC LIMIT 3""".stripMargin)
       .collect().map(_.getString(0))
-    val inList = top.map(s => s"'$s'").mkString(", ")
+    // SQL-escape embedded quotes: the values are data, not trusted SQL text
+    val inList = top.map(s => s"'${s.replace("'", "''")}'").mkString(", ")
     spark.sql(
       s"""SELECT user_id, event_type, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents

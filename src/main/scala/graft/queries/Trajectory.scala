@@ -173,12 +173,11 @@ object Trajectory {
       .where(pmod(CorpusExpr.tokHash60(col("o_orderkey").cast("string")), lit(10L)) === 0L)
       .select(col("o_orderkey"), col("o_custkey"))
 
-  /** Native Catalyst expression in action: Jaro-Winkler similarity (codegen
-    * via JaroWinklerExpression, registered as SQL `jaro_winkler` by
-    * GraftExtensions) over same-(lang,source)-block document pairs.
-    * Rows-only driver check: engines disagree on JW tie-breaking details,
-    * so cross-engine value equality is not guaranteed; JW semantics are
-    * unit-tested in TextSimSpec instead.
+  /** Levenshtein similarity over same-(lang,source)-block document pairs —
+    * fully oracle-checked: Levenshtein is an exact integer DP in both
+    * engines (unlike Jaro-Winkler, whose boost-threshold/transposition
+    * details differ across engines — JW stays in the typed scoring kernel
+    * and is unit-tested in TextSimSpec).
     */
   def q39_lev_similarity(spark: SparkSession, dir: String): DataFrame = {
     // the pair join multiplies work ~30x per input row; repartition the

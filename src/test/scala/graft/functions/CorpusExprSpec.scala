@@ -37,6 +37,36 @@ class CorpusExprSpec extends SparkSpec {
     assert(s(0) != s(2))
   }
 
+  test("native one-pass simhash == columnar 16-pass spec on perturbed corpus") {
+    graft.GraftExtensions.register(spark)
+    // deterministic pseudo-random docs incl. duplicates + empty-ish shapes
+    val docsSeq = (0 until 200).map { i =>
+      val n = 1 + (i * 7) % 23
+      (0 until n).map(j => s"w${(i * 31 + j * j) % 50}").mkString(" ")
+    } :+ "solo"
+    val df = docsSeq.map(Tuple1(_)).toDF("t")
+      .select(col("t"),
+        simhash16(tokens(col("t"))).as("columnar"),
+        graft.functions.SimhashExpression.simhash16Native(tokens(col("t"))).as("native"))
+    assert(df.where(col("columnar") =!= col("native")).isEmpty)
+  }
+
+  test("overlap_milli_long == token_overlap_milli under hashing") {
+    graft.GraftExtensions.register(spark)
+    val pairs = (0 until 100).map { i =>
+      val a = (0 until 1 + (i % 17)).map(j => s"t${(i + j * j) % 12}")
+      val b = (0 until 1 + ((i * 5) % 13)).map(j => s"t${(i * 3 + j) % 12}")
+      (a, b)
+    }
+    val df = pairs.toDF("a", "b")
+      .select(
+        graft.functions.TokenOverlapExpression.tokenOverlapMilli(col("a"), col("b")).as("s"),
+        graft.functions.OverlapLongExpression.overlapMilliLong(
+          transform(col("a"), t => xxhash64(t)),
+          transform(col("b"), t => xxhash64(t))).as("l"))
+    assert(df.where(col("s") =!= col("l")).isEmpty)
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val df = Seq(Tuple1("a b c"), Tuple1("c b a"), Tuple1("a b c"))
       .toDF("t").select(fingerprint(tokens(col("t"))).as("f"))
