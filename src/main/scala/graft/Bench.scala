@@ -7,39 +7,49 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): one JSON line with per-query seconds
   * over SPARK_GRAFT_SF_DIR, PLUS the north-rule scaling evidence — the ER
   * pipeline end-to-end on an identical deterministic synthetic corpus at
-  * local[8] and local[32] (stand-in for N vs 4N executors; no real cluster
+  * local[N] and local[4N] (stand-in for N vs 4N executors; no real cluster
   * in this sandbox), reporting docs/sec at both and the throughput scaling
   * efficiency tp(4N) / (4 · tp(N)), target ≥ 0.8.
   *
   * The scaling pair runs at local[N] vs local[4N] where N =
   * SPARK_GRAFT_SCALE_N (default 1, i.e. 1 vs 4 threads — the
   * bandwidth-UNSATURATED region of this box: measured task-CPU inflation
-  * is 1.1× at 4 threads vs 2.4× at 8+, so 1→4 isolates algorithmic
+  * is ~1.1× at 4 threads vs ~2.4× at 8+, so 1→4 isolates algorithmic
   * scaling from the shared-memory-bus artifact a single box imposes; a
   * real N→4N cluster adds bandwidth with cores, see BENCH/BASELINE.md).
+  * NOTE: this definition changed in round 2 (round 1 measured 2→8 without
+  * interleaving) — cross-round efficiency numbers are not comparable.
+  *
   * Ambient host load varies by tens of percent over minutes on this box,
-  * so the legs are INTERLEAVED (N, 4N, N, 4N, 4N) and each leg reports its
-  * minimum wall over SPARK_GRAFT_SCALE_REPS_N (default 2) /
-  * SPARK_GRAFT_SCALE_REPS (default 3) runs — one slow window then cannot
-  * sink both sides of the ratio.
+  * so the legs are INTERLEAVED (N, 4N, N, 4N, …) and each side reports its
+  * minimum wall over SPARK_GRAFT_SCALE_REPS_N (default 3) /
+  * SPARK_GRAFT_SCALE_REPS (default 4) runs — one slow window then cannot
+  * sink both sides of the ratio. EVERY leg's job census (wall, Σ task
+  * time, Σ task CPU, parallel core use) is emitted under "er_legs" so the
+  * artifact itself shows which legs hit ambient interference (a loaded
+  * window shows as task-time inflation at unchanged parallel use) instead
+  * of asserting the methodology off-artifact.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
   * (default 32), SPARK_GRAFT_BENCH_ENTITIES × SPARK_GRAFT_BENCH_DPE (ER
   * corpus size, default 200000 × 3 docs), SPARK_GRAFT_SCALE_N,
-  * SPARK_GRAFT_SCALE_REPS, SPARK_GRAFT_SKIP_SCALING / _SKIP_QUERIES.
+  * SPARK_GRAFT_SCALE_REPS[_N], SPARK_GRAFT_SKIP_SCALING / _SKIP_QUERIES.
   */
 object Bench {
 
+  // tmpfs shuffle dir, PER PROCESS: a single box shares one disk across
+  // all threads (serializing spill I/O corrupts thread-scaling numbers);
+  // the pid suffix keeps a concurrent bench JVM from deleting our live
+  // shuffle files at its exit
+  private val localDir = s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}"
+
   private def session(threads: Int): SparkSession = {
-    // shuffle files on tmpfs: a single box shares one disk across all
-    // threads, which serializes spill I/O and corrupts thread-scaling
-    // measurements; a real cluster gives every executor its own disks
-    val localDir = "/dev/shm/graft-spark"
     new java.io.File(localDir).mkdirs()
     val s = SparkSession.builder()
       .master(s"local[$threads]")
       .appName(s"graft-bench-$threads")
-      .config("spark.sql.shuffle.partitions", threads)
+      // 4× over-decomposition, same rule at every thread count (see Main)
+      .config("spark.sql.shuffle.partitions", threads * 4)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", localDir)
@@ -49,16 +59,32 @@ object Bench {
     s
   }
 
+  /** One leg's job census: wall plus scheduler-side totals. taskSec is Σ
+    * task wall (includes shuffle wait), cpuSec is Σ executor CPU — their
+    * divergence, and parallelUse = taskSec/(wall·threads), is what makes a
+    * leg auditable for ambient load after the fact.
+    */
+  final case class Leg(threads: Int, rep: Int, docs: Long, wall: Double,
+                       jobs: Long, taskSec: Double, cpuSec: Double) {
+    def parallelUse: Double = if (wall <= 0) 0.0 else taskSec / (wall * threads)
+    def json: String =
+      f"""{"threads":$threads,"rep":$rep,"wall_sec":$wall%.3f,"jobs":$jobs,""" +
+        f""""task_sec":$taskSec%.1f,"cpu_sec":$cpuSec%.1f,"parallel_use":$parallelUse%.3f}"""
+  }
+
   /** End-to-end ER wall time (synth + block + score + cluster + count). */
-  private def erRun(threads: Int, cfg: GenConfig): (Long, Double) = {
+  private def erRun(threads: Int, rep: Int, cfg: GenConfig): Leg = {
     val spark = session(threads)
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+        if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+      }
     })
     try {
       val t0 = System.nanoTime()
@@ -67,10 +93,17 @@ object Bench {
       val n = res.assignments.count()
       res.release(); docs.unpersist()
       val wall = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[erRun threads=$threads] wall=$wall%.1f s jobs=${jobs.get} " +
-        f"taskTime=${taskMs.get / 1e3}%.1f s parallelUse=${taskMs.get / 1e3 / (wall * threads) * 100}%.0f%%")
-      (n, wall)
-    } finally spark.stop()
+      val leg = Leg(threads, rep, n, wall, jobs.get, taskMs.get / 1e3, cpuNs.get / 1e9)
+      System.err.println(f"[erRun threads=$threads rep=$rep] wall=$wall%.1f s jobs=${jobs.get} " +
+        f"taskTime=${leg.taskSec}%.1f s cpuTime=${leg.cpuSec}%.1f s parallelUse=${leg.parallelUse * 100}%.0f%%")
+      leg
+    } finally {
+      spark.stop()
+      // settle between legs: drop the stopped context's garbage now so the
+      // next leg does not inherit a GC debt it did not create
+      System.gc()
+      Thread.sleep(500)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -96,6 +129,23 @@ object Bench {
       spark.stop()
       (r -- fails.keys, fails)
     }
+    // ANN quality alongside speed: recall of the IVF multi-probe top-3
+    // (q25) against the brute-force top-3 (q23) over the same query set —
+    // a fast-but-wrong index must show up in the artifact, not just a
+    // fast one
+    val ivfRecall = if (skipQueries) "" else {
+      import org.apache.spark.sql.functions.col
+      val spark = session(cpus)
+      try {
+        val bf = SparkEntry.queries("q23_embed_cosine_topk")(spark, sfDir)
+          .where(col("rank") <= 3).select(col("query_id"), col("neighbor_id"))
+        val ivf = SparkEntry.queries("q25_embed_ivf_topk")(spark, sfDir)
+          .select(col("query_id"), col("neighbor_id"))
+        val hit = bf.join(ivf, Seq("query_id", "neighbor_id")).count()
+        val total = bf.count()
+        f""","ivf_recall_at_3":${if (total == 0) 1.0 else hit.toDouble / total}%.4f"""
+      } finally spark.stop()
+    }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -103,34 +153,37 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     // 2) ER scaling: identical corpus (seeded, partition-count-independent
-    //    generation) at local[N] then local[4N]; min wall of REPS runs per leg
+    //    generation) at local[N] then local[4N]; min wall of REPS runs per
+    //    leg, legs interleaved, full census emitted
     val scaling = if (skipScaling) "" else {
       val dpe = sys.env.getOrElse("SPARK_GRAFT_BENCH_DPE", "3").toInt
       val cfg = GenConfig(numEntities = entities, docsPerEntity = dpe, seed = 42L)
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
-      val repsN = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS_N", "2").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
+      val repsN = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS_N", "3").toInt
       // interleave the legs so a slow ambient window hits at most one run
       // of each side, then take the best run per leg
-      val nRuns = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-      val fRuns = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
       (0 until math.max(reps, repsN)).foreach { i =>
-        if (i < repsN) nRuns += erRun(nSmall, cfg)
-        if (i < reps) fRuns += erRun(nSmall * 4, cfg)
+        if (i < repsN) legs += erRun(nSmall, i, cfg)
+        if (i < reps) legs += erRun(nSmall * 4, i, cfg)
       }
-      val (n8, t8) = nRuns.minBy(_._2)
-      val (n32, t32) = fRuns.minBy(_._2)
-      require(n8 == n32, s"non-deterministic corpus: $n8 != $n32")
-      val tp8 = n8 / t8
-      val tp32 = n32 / t32
-      val eff = tp32 / (4.0 * tp8)
-      s""","er_scaling":{"docs":$n8,"scale_n":$nSmall,"reps":$reps,"tN_sec":$t8,"t4N_sec":$t32,""" +
-        s""""docs_per_sec_N":$tp8,"docs_per_sec_4N":$tp32,"scaling_efficiency":$eff}"""
+      val bestN = legs.filter(_.threads == nSmall).minBy(_.wall)
+      val best4 = legs.filter(_.threads == nSmall * 4).minBy(_.wall)
+      require(bestN.docs == best4.docs, s"non-deterministic corpus: ${bestN.docs} != ${best4.docs}")
+      val tpN = bestN.docs / bestN.wall
+      val tp4 = best4.docs / best4.wall
+      val eff = tp4 / (4.0 * tpN)
+      s""","er_scaling":{"docs":${bestN.docs},"scale_n":$nSmall,"reps":$reps,""" +
+        s""""tN_sec":${bestN.wall},"t4N_sec":${best4.wall},""" +
+        s""""docs_per_sec_N":$tpN,"docs_per_sec_4N":$tp4,"scaling_efficiency":$eff,""" +
+        s""""er_legs":[${legs.map(_.json).mkString(",")}]}"""
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$scaling}""")
-    // tmpfs shuffle dir is shared RAM — never leave it populated
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$ivfRecall$scaling}""")
+    // tmpfs shuffle dir is shared RAM — never leave OUR dir populated
+    // (other processes' dirs are theirs to clean)
     import scala.reflect.io.Directory
-    new Directory(new java.io.File("/dev/shm/graft-spark")).deleteRecursively()
+    new Directory(new java.io.File(localDir)).deleteRecursively()
   }
 }

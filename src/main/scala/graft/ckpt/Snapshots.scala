@@ -55,19 +55,30 @@ object Snapshots {
     val dataPath = s"$snapPath/data"
     df.write.mode(SaveMode.Overwrite).parquet(dataPath)
 
+    // ONE job re-reads the written parquet for per-partition lineage; the
+    // snapshot row count is the sum of the collected per-partition counts
+    // (round 2 ran a separate count() — a third job per commit). The
+    // partition ids are the POST-READ partitioning of the committed files
+    // (hence `read_partition_id`), not the writer tasks — what a resumed
+    // consumer of the snapshot will actually see.
     val written = spark.read.parquet(dataPath)
-    val lineage = written
-      .groupBy(spark_partition_id().as("partition_id"))
+    val parts = written
+      .groupBy(spark_partition_id().as("read_partition_id"))
       .agg(count(lit(1)).as("rows_out"))
+      .collect()
+    val rows = parts.map(_.getLong(1)).sum
+    import spark.implicits._
+    val lineage = parts.toSeq
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .toDF("read_partition_id", "rows_out")
       .withColumn("run_id", lit(runId))
       .withColumn("stage", lit(stage))
       .withColumn("snapshot_id", lit(snapId))
       .withColumn("counters",
         map(counters.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
       .withColumn("committed_at", current_timestamp())
-    lineage.write.mode(SaveMode.Overwrite).parquet(s"$snapPath/lineage")
-
-    val rows = written.count()
+    // local-relation write: no cluster job re-scans the data for lineage
+    lineage.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$snapPath/lineage")
     val manifest =
       s"""{"run_id":"$runId","stage":"$stage","snapshot_id":$snapId,"rows":$rows,
          |"counters":{${counters.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""".stripMargin

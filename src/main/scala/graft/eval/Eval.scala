@@ -75,6 +75,58 @@ object Eval {
     (hits, n, if (n == 0) 1.0 else hits.toDouble / n)
   }
 
+  /** One grid point of the blend-parameter sweep. */
+  final case class SweepPoint(gammaText: Double, threshold: Double,
+                              tp: Long, fp: Long, fn: Long,
+                              precision: Double, recall: Double, f1: Double) {
+    def json: String =
+      f"""{"gamma_text":$gammaText%.2f,"threshold":$threshold%.2f,"tp":$tp,"fp":$fp,"fn":$fn,""" +
+        f""""precision":$precision%.6f,"recall":$recall%.6f,"f1":$f1%.6f}"""
+  }
+
+  /** γ-grid sweep over COMMITTED scored pairs (reference AMPI.scala:371-421
+    * re-blends one cached scored RDD over a parameter grid; grid
+    * aggregation AMPIResults.scala:15-33): for every (gammaText,
+    * threshold) point, pairwise P/R/F1 against the labeled pairs, computed
+    * by RE-BLENDING the committed per-channel scores (sim_text/sim_media/
+    * sim_align + the media_usable/vetoed blend-path flags) — zero pairs are
+    * re-scored, and the WHOLE grid is ONE aggregation pass (3·|grid| sum
+    * columns over one join). Labeled pairs missing from the scored set
+    * (prescreen-rejected) count as score-0 non-matches, exactly as the
+    * pipeline treats them.
+    */
+  def sweepBlend(scoredPairs: DataFrame, labeledPairs: DataFrame,
+                 cfg: graft.operators.PairScoring.ScoreConfig,
+                 gammas: Seq[Double], thresholds: Seq[Double]): Seq[SweepPoint] = {
+    val chans = scoredPairs.select(col("doc_id_a"), col("doc_id_b"),
+      col("sim_text"), col("sim_media"), col("sim_align"), col("media_usable"), col("vetoed"))
+    val j = labeledPairs.select(col("doc_id_a"), col("doc_id_b"), col("is_match"))
+      .join(chans, Seq("doc_id_a", "doc_id_b"), "left")
+      .select(col("is_match"),
+        coalesce(col("sim_text"), lit(0.0)).as("st"),
+        coalesce(col("sim_media"), lit(0.0)).as("sm"),
+        coalesce(col("sim_align"), lit(0.0)).as("sa"),
+        coalesce(col("media_usable"), lit(false)).as("mu"),
+        coalesce(col("vetoed"), lit(false)).as("vt"))
+    val grid = for (g <- gammas; t <- thresholds) yield (g, t)
+    val aggs = grid.flatMap { case (g, t) =>
+      val pred = graft.operators.PairScoring.blendColumn(
+        col("st"), col("sm"), col("sa"), col("mu"), col("vt"), cfg, g) >= t
+      Seq(
+        sum(when(pred && col("is_match"), 1L).otherwise(0L)).as(f"tp_${g}_$t"),
+        sum(when(pred && !col("is_match"), 1L).otherwise(0L)).as(f"fp_${g}_$t"),
+        sum(when(!pred && col("is_match"), 1L).otherwise(0L)).as(f"fn_${g}_$t"))
+    }
+    val row = j.agg(aggs.head, aggs.tail: _*).collect()(0)
+    grid.zipWithIndex.map { case ((g, t), i) =>
+      val tp = row.getLong(3 * i); val fp = row.getLong(3 * i + 1); val fn = row.getLong(3 * i + 2)
+      val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+      val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+      val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+      SweepPoint(g, t, tp, fp, fn, p, r, f1)
+    }
+  }
+
   /** Exact cluster-membership equality: the partition induced by
     * `assignments` equals the partition induced by gold entity ids.
     * Checked by comparing canonicalized cluster signatures (min doc_id of

@@ -87,6 +87,95 @@ object Kernels {
     out.distinct.sorted
   }
 
+  /** INTEGER-EXACT KDE peak-pick (the oracle-facing twin of `kdeCenters`):
+    * same peak-pick structure as the reference (density → distance to
+    * nearest higher-density point → z-score cut, Model.scala:93-189) but
+    * with the Epanechnikov-style kernel max(0, h² − d²) instead of the
+    * gaussian — every intermediate is an exact int64, so a SQL oracle
+    * reproduces it bit-for-bit (gaussian exp() sums are last-ulp
+    * engine-dependent and the peak-pick branches on comparisons of them;
+    * see CorpusExpr header for the cross-engine determinism rules).
+    *
+    * The z-score cut is evaluated WITHOUT division or sqrt:
+    *   (dist_i − mean)/sd ≥ z  ⟺  L ≥ 0 ∧ L² ≥ z²·(n·Σd² − S²)
+    * where L = n·dist_i − S, S = Σ dist. sd = 0 (all dists equal) and
+    * no-center fallbacks mirror kdeCenters: the min time among argmax
+    * density. Overflow-safe for n·max(dist) < 3e9 — i.e. n ≤ ~8000 events
+    * per user at day-scale times (the per-user kernel contract; the
+    * reference's per-user trip counts are tiny).
+    *
+    * Input must be sorted ascending. Returns distinct sorted centers.
+    */
+  def kdeCentersInt(times: Array[Long], h: Long = 1800L, z: Long = 2L): Array[Long] = {
+    val n = times.length
+    if (n == 0) return Array.empty
+    if (n == 1) return Array(times(0))
+    val h2 = h * h
+    val density = Array.tabulate(n) { i =>
+      var s = 0L; var j = 0
+      while (j < n) {
+        val d = times(j) - times(i)
+        val k = h2 - d * d
+        if (k > 0) s += k
+        j += 1
+      }
+      s
+    }
+    val NoHigher = -1L
+    val dist = Array.tabulate(n) { i =>
+      var best = NoHigher; var j = 0
+      while (j < n) {
+        if (density(j) > density(i)) {
+          val d = math.abs(times(j) - times(i))
+          if (best == NoHigher || d < best) best = d
+        }
+        j += 1
+      }
+      best
+    }
+    var maxFinite = 0L
+    var i = 0
+    while (i < n) { if (dist(i) != NoHigher && dist(i) > maxFinite) maxFinite = dist(i); i += 1 }
+    i = 0
+    while (i < n) { if (dist(i) == NoHigher) dist(i) = math.max(maxFinite, 1L) * 2; i += 1 }
+    var s = 0L; var q = 0L
+    i = 0
+    while (i < n) { s += dist(i); q += dist(i) * dist(i); i += 1 }
+    val varNum = n * q - s * s // n² · variance, exact
+    def argmaxDensityTime: Long = {
+      var bi = 0; var j = 1
+      while (j < n) { if (density(j) > density(bi)) bi = j; j += 1 }
+      times(bi) // times sorted => first argmax = min time among argmax
+    }
+    val centers =
+      if (varNum == 0L) Array(argmaxDensityTime)
+      else {
+        val c = times.indices.collect {
+          case i if {
+            val l = n * dist(i) - s
+            l >= 0 && l * l >= z * z * varNum
+          } => times(i)
+        }.toArray
+        if (c.isEmpty) Array(argmaxDensityTime) else c
+      }
+    centers.distinct.sorted
+  }
+
+  /** Nearest-center assignment over Long times: center value within `dc`,
+    * ties to the LARGER center (matches assignToCenters' walk order);
+    * NoCenter (-1) when none is in range.
+    */
+  def assignToCentersInt(t: Long, centers: Array[Long], dc: Long = 5400L): Long = {
+    var best = -1L; var bestD = dc
+    var i = 0
+    while (i < centers.length) {
+      val d = math.abs(t - centers(i))
+      if (d <= bestD) { bestD = d; best = centers(i) }
+      i += 1
+    }
+    best
+  }
+
   /** One observed trip/session with its endpoint types and time bounds. */
   final case class SessionOD(first: String, last: String, startMs: Long, endMs: Long)
 

@@ -101,6 +101,34 @@ object TextSim {
     prev(bArr.length)
   }
 
+  /** LCS length over 64-bit token ids — the hot-path twin of tokenLcs:
+    * round 3 hash-encodes scoring tokens to longs before the pair shuffle
+    * (PairScoring.features), so the O(|a|·|b|) DP compares primitives
+    * instead of strings. Semantics identical to tokenLcs under the hashing
+    * (collision prob ~2^-64 per token pair; property-tested equal in
+    * PairScoringSpec).
+    */
+  def tokenLcsLong(a: Array[Long], b: Array[Long]): Int = {
+    if (a.length == 0 || b.length == 0) return 0
+    var prev = new Array[Int](b.length + 1)
+    var curr = new Array[Int](b.length + 1)
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i)
+      var j = 1
+      while (j <= b.length) {
+        curr(j) =
+          if (ai == b(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), curr(j - 1))
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      java.util.Arrays.fill(curr, 0)
+      i += 1
+    }
+    prev(b.length)
+  }
+
   /** Jaro-Winkler: boost by shared prefix (<=4 chars), scaling p=0.1.
     * NOTE: the prefix bonus is applied unconditionally (RapidFuzz-style);
     * classic Winkler (and DuckDB) gate it behind jaro > 0.7 — one reason JW

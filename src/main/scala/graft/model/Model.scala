@@ -29,6 +29,12 @@ final case class CandidatePair(doc_id_a: String, doc_id_b: String, block_key: Lo
   * (reference analogue: ol_1/ol_2 blend AMPI.scala:298-306,385-392, plus
   * the rank-decayed alignment score with Q+P+R normalization,
   * AMPI.scala:393-405).
+  *
+  * `media_usable` (both sides carried ≥ minMediaEvidence media tokens) and
+  * `vetoed` (M7 exclusive-id conflict) record the two blend-path decisions
+  * that are NOT recoverable from the channel scores alone — committed so a
+  * parameter sweep (reference AMPI.scala:371-421) can re-blend the channels
+  * under a different ScoreConfig without re-scoring any pair.
   */
 final case class ScoredPair(
     doc_id_a: String,
@@ -37,7 +43,9 @@ final case class ScoredPair(
     sim_text: Double,
     sim_media: Double,
     sim_align: Double,
-    score: Double)
+    score: Double,
+    media_usable: Boolean,
+    vetoed: Boolean)
 
 /** Final cluster assignment; cluster_id = min doc_id in the cluster. */
 final case class ClusterAssignment(doc_id: String, cluster_id: String)
@@ -50,7 +58,9 @@ final case class LineageRow(
     run_id: String,
     stage: String,
     snapshot_id: Long,
-    partition_id: Int,
+    /** partition index as seen when READING the committed files back (what
+      * a resumed consumer observes), not the writer task id */
+    read_partition_id: Int,
     rows_out: Long,
     counters: Map[String, Long],
     committed_at: java.sql.Timestamp)

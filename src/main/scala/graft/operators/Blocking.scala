@@ -101,15 +101,30 @@ object Blocking {
     transform(sequence(lit(0), lit(numBands - 1)), b =>
       famTag(family, xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b)))
 
+  /** The pipeline's SHARED tokenized projection: doc_id + text tokens +
+    * media tokens, extracted from the span structs in ONE pass. Blocking
+    * AND scoring both consume this relation — the pipeline persists it so
+    * the nested-struct span decode (the most bandwidth-expensive scan of
+    * the source) runs once per run, and downstream passes read the much
+    * flatter (string-array) cache instead. At 10^12 docs this is the
+    * materialized token table every stage would share.
+    */
+  def tokenized(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs.select(col("doc_id"), textTokens(col("spans")).as("toks"),
+      mediaTokens(col("spans")).as("md"))
+  }
+
   /** Staged per-doc block-key derivation: tokens → shingles → one-pass
     * minhash signatures → band keys, each step a separate PROJECTION so
     * every expensive expression is evaluated exactly once per row (Catalyst
     * does not collapse projects when that would duplicate non-cheap
-    * expressions). Returns (block_key, doc_id) rows, pre-explode.
+    * expressions). Input: a `tokenized` relation (doc_id, toks, md).
+    * Returns (block_key, doc_id) rows, pre-explode.
     */
-  private[graft] def keyedDocs(docs: DataFrame, numBands: Int, rowsPerBand: Int,
+  private[graft] def keyedDocs(toked: DataFrame, numBands: Int, rowsPerBand: Int,
                         tokenBands: Int): DataFrame = {
-    graft.GraftExtensions.register(docs.sparkSession) // minhash_sig used below
+    graft.GraftExtensions.register(toked.sparkSession) // minhash_sig used below
     val tb = if (tokenBands < 0) math.max(6, (numBands * 3) / 4) else tokenBands
     // token-SET similarity of unrelated docs is much higher than their
     // shingle similarity (word order ignored), so the recall family uses
@@ -119,8 +134,6 @@ object Blocking {
     // co-occurrence is a recall channel orthogonal to text noise (reference
     // analogue: SIG station co-occurrence, SIG.scala:82-87); hot shared
     // tokens produce oversized blocks that the block-size cap removes
-    val toked = docs.select(col("doc_id"), textTokens(col("spans")).as("toks"),
-      mediaTokens(col("spans")).as("md"))
     val shingled = toked.select(col("doc_id"), col("toks"), col("md"),
       shingles(col("toks"), 2).as("sh"))
     // refinement sub-keys for HOT blocks (block() below): two independent
@@ -195,9 +208,16 @@ object Blocking {
     * DataFrame is persisted AND materialized (callers may unpersist).
     */
   def block(docs: DataFrame, numBands: Int = 12, rowsPerBand: Int = 4,
+            maxBlockSize: Int = 64, tokenBands: Int = 0): (DataFrame, Map[String, Long]) =
+    blockTokenized(tokenized(docs), numBands, rowsPerBand, maxBlockSize, tokenBands)
+
+  /** block() over a pre-tokenized (possibly persisted) relation — the
+    * pipeline path sharing one span-extraction pass with scoring.
+    */
+  def blockTokenized(toked: DataFrame, numBands: Int = 12, rowsPerBand: Int = 4,
             maxBlockSize: Int = 64, tokenBands: Int = 0): (DataFrame, Map[String, Long]) = {
     import org.apache.spark.sql.expressions.Window
-    val exploded = keyedDocs(docs, numBands, rowsPerBand, tokenBands).persist()
+    val exploded = keyedDocs(toked, numBands, rowsPerBand, tokenBands).persist()
     // key-frequency stats → cap, via hash aggregation + ONE equi-join back
     // (small/hot routed by filter on the joined size): the partial
     // (map-side) aggregation shrinks the key rows to ~#distinct keys before
@@ -205,7 +225,12 @@ object Blocking {
     // pay on the exploded rows, and joining once instead of once-per-route
     // halves the largest shuffle of the stage.
     val sizes = exploded.groupBy("block_key").agg(count(lit(1)).as("block_size")).persist()
-    val keyed = exploded.join(sizes, "block_key").persist()
+    // keyed is deliberately NOT persisted: its two consumers (small/hot
+    // routes) re-run the join from the two cached parents, and Spark reuses
+    // the join's shuffle files across the actions — columnar-encoding a
+    // third 14M-row cache costs more (alloc bandwidth at high thread
+    // counts) than the re-join reads
+    val keyed = exploded.join(sizes, "block_key")
     val small = keyed.where(col("block_size") <= maxBlockSize)
       .select(col("block_key"), col("doc_id"))
     val hot = keyed.where(col("block_size") > maxBlockSize)
@@ -241,7 +266,7 @@ object Blocking {
     val rKept = rsizes
       .agg(coalesce(sum(when(col("rsize") <= maxBlockSize && col("rsize") >= 2, 1L).otherwise(0L)), lit(0L)))
       .collect()(0).getLong(0)
-    exploded.unpersist(); sizes.unpersist(); keyed.unpersist(); rsizes.unpersist()
+    exploded.unpersist(); sizes.unpersist(); rsizes.unpersist()
     (kept, Map(
       "blocking_rows" -> blockingRows,
       "capped_block_keys" -> hotStats.getLong(0),

@@ -83,6 +83,19 @@ object ConnectedComponents {
   }
 
   def run(spark: SparkSession, edges0: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    // AQE off for the loop only: each iteration is a small fixed-shape
+    // two-shuffle plan, and AQE's per-query-stage re-planning adds driver
+    // round-trips per iteration that dominate at high parallelism (the
+    // loop is driver-latency-bound, BENCH/BASELINE.md); the big skewed
+    // stages that need AQE live upstream in blocking/scoring
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      runLoop(spark, edges0, maxIter)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def runLoop(spark: SparkSession, edges0: DataFrame, maxIter: Int): (DataFrame, Int) = {
     // loop state keeps smallStar's (node → smaller) orientation; the
     // canonical (lo,hi) form is used only for the convergence signature
     var edges = canonical(edges0).localCheckpoint(false)

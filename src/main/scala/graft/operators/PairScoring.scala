@@ -99,25 +99,66 @@ object PairScoring {
     (dfMap, n)
   }
 
-  /** Per-doc media features with idf weights computed DISTRIBUTEDLY:
-    * explode media tokens → df counts (one hash aggregation) → join back →
-    * re-aggregate to per-doc sorted (token, weight) arrays. No driver
-    * dictionary at any scale; sort_array makes downstream double-summation
-    * order deterministic across runs/partitionings.
-    * Returns (doc_id, m_toks: array<string>, m_ws: array<double>).
+  /** Per-doc scoring features, HASH-ENCODED for the pair shuffle — ONE
+    * tokenization pass over the persisted (toks, md) projection feeds both
+    * the media-idf aggregation and the feature join (round 2 tokenized the
+    * source twice per run):
+    *
+    *  - txt:      the maxTokens-truncated tokens joined by ' ' — the ONE
+    *              string per side the char-level JW/Levenshtein channel
+    *              needs (an array<string> of tokens would decode to ~64
+    *              objects per side per pair);
+    *  - tok_ids:  xxhash64 per truncated token, order preserved (LCS +
+    *              overlap prescreen run on 8-byte primitives);
+    *  - m_ids/m_ws: id-SORTED parallel arrays of media-token hash + idf
+    *              weight, computed DISTRIBUTEDLY (explode → df counts →
+    *              join back → per-doc sort) — no driver dictionary at any
+    *              scale, weight(t) = ln(1 + N/df(t));
+    *  - x_ids:    sorted hashes of exclusive-claim tokens (cfg.exclusivePrefix),
+    *              extracted BEFORE hashing destroys the prefix.
+    *
+    * Token-hash collisions (~2^-64 per comparison) can only nudge a
+    * channel score, never corrupt ids: doc ids stay strings end-to-end.
     */
-  def mediaFeatures(docs: DataFrame, nDocs: Long): DataFrame = {
-    graft.GraftExtensions.register(docs.sparkSession)
-    val toks = docs.select(col("doc_id"), explode(Blocking.mediaTokens(col("spans"))).as("tok"))
-    // mediaTokens is distinct per doc => count(*) per token == document freq
-    val w = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      .select(col("tok"), log1p(lit(nDocs.toDouble) / col("df")).as("w"))
-    toks.join(w, "tok")
+  def features(docs: DataFrame, nDocs: Long, cfg: ScoreConfig = ScoreConfig()): DataFrame =
+    featuresTokenized(Blocking.tokenized(docs), nDocs, cfg)
+
+  /** features() over a pre-tokenized (possibly persisted) relation — the
+    * pipeline path sharing one span-extraction pass with blocking.
+    */
+  def featuresTokenized(toked: DataFrame, nDocs: Long, cfg: ScoreConfig = ScoreConfig()): DataFrame = {
+    graft.GraftExtensions.register(toked.sparkSession)
+    val base = toked
+    // ONE tokenization pass: the exploded media-token relation feeds BOTH
+    // the df aggregation and the join-back, so it is persisted — the
+    // aggregation's map stage writes the cache blocks and the join stage
+    // reads them within the same action (round 2 tokenized the source
+    // twice per run). The cache is compact ((doc_id, long, bool) rows, no
+    // text payload) and dies with the session; at 10^12 docs this is the
+    // relation you'd materialize as a table anyway.
+    val mtok = base.select(col("doc_id"), explode(col("md")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("mid"),
+        (if (cfg.exclusivePrefix.isEmpty) lit(false)
+         else col("tok").startsWith(cfg.exclusivePrefix)).as("is_x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // mediaTokens is distinct per doc => count(*) per id == document freq
+    val w = mtok.groupBy("mid").agg(count(lit(1)).as("df"))
+      .select(col("mid"), log1p(lit(nDocs.toDouble) / col("df")).as("w"))
+    val media = mtok.join(w, "mid")
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("tok"), col("w")))).as("mw"))
+      .agg(sort_array(collect_list(struct(col("mid"), col("w"), col("is_x")))).as("mw"))
       .select(col("doc_id"),
-        transform(col("mw"), x => x.getField("tok")).as("m_toks"),
-        transform(col("mw"), x => x.getField("w")).as("m_ws"))
+        transform(col("mw"), x => x.getField("mid")).as("m_ids"),
+        transform(col("mw"), x => x.getField("w")).as("m_ws"),
+        transform(filter(col("mw"), x => x.getField("is_x")), x => x.getField("mid")).as("x_ids"))
+    base.select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), 1, cfg.maxTokens)).as("txt"),
+        transform(slice(col("toks"), 1, cfg.maxTokens), t => xxhash64(t)).as("tok_ids"))
+      .join(media, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("txt"), col("tok_ids"),
+        coalesce(col("m_ids"), array().cast("array<long>")).as("m_ids"),
+        coalesce(col("m_ws"), array().cast("array<double>")).as("m_ws"),
+        coalesce(col("x_ids"), array().cast("array<long>")).as("x_ids"))
   }
 
   /** Weighted Jaccard from aligned (token, weight) arrays; both sides carry
@@ -159,8 +200,16 @@ object PairScoring {
                  costCo: Double = 1.0, costAOnly: Double = 1.0, costBOnly: Double = 1.0): Double = {
     val na = textA.length; val nb = textB.length
     if (na == 0 || nb == 0) return 0.0
-    val q = TextSim.tokenLcs(textA, textB)
-    if (q == 0) return 0.0
+    alignScoreFromLcs(TextSim.tokenLcs(textA, textB), na, nb, decay, blend,
+      costCo, costAOnly, costBOnly)
+  }
+
+  /** The alignment blend given a precomputed LCS length Q (shared by the
+    * string and the hashed-id kernels).
+    */
+  def alignScoreFromLcs(q: Int, na: Int, nb: Int, decay: Double, blend: Double,
+                        costCo: Double, costAOnly: Double, costBOnly: Double): Double = {
+    if (q == 0 || na == 0 || nb == 0) return 0.0
     def geo(n: Int): Double =
       if (decay <= 0.0) n.toDouble
       else (1.0 - math.exp(-decay * n)) / (1.0 - math.exp(-decay))
@@ -206,6 +255,41 @@ object PairScoring {
     inter.toDouble / math.max(a.length, b.length)
   }
 
+  /** Blend the channel scores into the final pair score — the one place
+    * the blend-path rules live (shared by the scoring kernels AND the
+    * parameter-sweep re-blend, which replays it over committed channels).
+    */
+  def blendChannels(simText: Double, simMedia: Double, simAlign: Double,
+                    mediaUsable: Boolean, vetoed: Boolean, cfg: ScoreConfig): Double = {
+    val base =
+      if (simText < cfg.conflictTextFloor) 0.0
+      else if (!mediaUsable) simText
+      else cfg.gammaText * simText + (1.0 - cfg.gammaText) * simMedia
+    val blended =
+      if (base == 0.0) 0.0
+      else (1.0 - cfg.alignWeight) * base + cfg.alignWeight * simAlign
+    if (vetoed) 0.0 else blended
+  }
+
+  /** blendChannels as a COLUMN expression over committed ScoredPair rows —
+    * the parameter-sweep path (reference AMPI.scala:371-421 re-blends one
+    * cached scored RDD under a γ grid): re-scoring zero pairs, a sweep
+    * point is one arithmetic projection. Must mirror blendChannels exactly
+    * (SweepSpec asserts the kernel and the column agree).
+    */
+  def blendColumn(simText: org.apache.spark.sql.Column, simMedia: org.apache.spark.sql.Column,
+                  simAlign: org.apache.spark.sql.Column, mediaUsable: org.apache.spark.sql.Column,
+                  vetoed: org.apache.spark.sql.Column, cfg: ScoreConfig,
+                  gammaText: Double): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val base = when(simText < cfg.conflictTextFloor, lit(0.0))
+      .when(!mediaUsable, simText)
+      .otherwise(lit(gammaText) * simText + lit(1.0 - gammaText) * simMedia)
+    val blended = when(base === 0.0, lit(0.0))
+      .otherwise(lit(1.0 - cfg.alignWeight) * base + lit(cfg.alignWeight) * simAlign)
+    when(vetoed, lit(0.0)).otherwise(blended)
+  }
+
   /** Pure per-pair kernel (array-weights form), unit-testable off-Spark.
     * Returns (simText, simMedia, simAlign, blended score).
     */
@@ -228,16 +312,85 @@ object PairScoring {
       else alignScore(ta, tb, cfg.alignDecay, cfg.alignBlend,
         cfg.alignCostCo, cfg.alignCostAOnly, cfg.alignCostBOnly)
     val mediaUsable = math.min(mToksA.size, mToksB.size) >= cfg.minMediaEvidence
-    val base =
-      if (simText < cfg.conflictTextFloor) 0.0
-      else if (!mediaUsable) simText
-      else cfg.gammaText * simText + (1.0 - cfg.gammaText) * simMedia
-    val blended =
-      if (base == 0.0) 0.0
-      else (1.0 - cfg.alignWeight) * base + cfg.alignWeight * simAlign
-    val score =
-      if (exclusiveConflict(mToksA, mToksB, cfg.exclusivePrefix)) 0.0 else blended
+    val score = blendChannels(simText, simMedia, simAlign, mediaUsable,
+      exclusiveConflict(mToksA, mToksB, cfg.exclusivePrefix), cfg)
     (simText, simMedia, simAlign, score)
+  }
+
+  /** Weighted Jaccard over id-SORTED (id, weight) arrays — a merge walk,
+    * no set allocation. Both sides carry the same global weight per id, so
+    * inter = Σ_{A∩B} w and union = Σ_A w + Σ_B w − inter.
+    */
+  def weightedJaccardSorted(
+      ia: Array[Long], wa: Array[Double],
+      ib: Array[Long], wb: Array[Double]): Double = {
+    if (ia.length == 0 && ib.length == 0) return 0.0
+    var i = 0; var j = 0
+    var inter = 0.0; var sa = 0.0; var sb = 0.0
+    while (i < ia.length && j < ib.length) {
+      if (ia(i) == ib(j)) { inter += wa(i); sa += wa(i); sb += wb(j); i += 1; j += 1 }
+      else if (ia(i) < ib(j)) { sa += wa(i); i += 1 }
+      else { sb += wb(j); j += 1 }
+    }
+    while (i < ia.length) { sa += wa(i); i += 1 }
+    while (j < ib.length) { sb += wb(j); j += 1 }
+    val uni = sa + sb - inter
+    if (uni <= 0.0) 0.0 else inter / uni
+  }
+
+  /** M7 veto over pre-extracted SORTED exclusive-id arrays: both sides
+    * assert claims and the claim sets are disjoint (merge-walk check).
+    */
+  def exclusiveConflictSorted(xa: Array[Long], xb: Array[Long]): Boolean = {
+    if (xa.length == 0 || xb.length == 0) return false
+    var i = 0; var j = 0
+    while (i < xa.length && j < xb.length) {
+      if (xa(i) == xb(j)) return false
+      else if (xa(i) < xb(j)) i += 1
+      else j += 1
+    }
+    true
+  }
+
+  /** Multiset token-overlap ratio over 64-bit token ids (sort + merge —
+    * see OverlapLongExpression, whose columnar form must stay a superset
+    * of this exact check).
+    */
+  def tokenOverlapRatioLong(a: Array[Long], b: Array[Long]): Double = {
+    if (a.length == 0 || b.length == 0) return 0.0
+    val inter = graft.functions.OverlapLongExpression.multisetIntersect(a.clone(), b.clone())
+    inter.toDouble / math.max(a.length, b.length)
+  }
+
+  /** Hot-path per-pair kernel over HASH-ENCODED features (see `features`):
+    * token ids are xxhash64 longs (pre-truncated to cfg.maxTokens), media
+    * ids/weights are id-sorted parallel arrays, exclusive claims are
+    * pre-extracted sorted id arrays, and the joined text string is
+    * precomputed per doc. Equivalent to scorePairArrays under the hashing
+    * (collisions ~2^-64/pair; property-tested in PairScoringSpec); the pair
+    * shuffle this kernel reads carries primitives + ONE string per side
+    * instead of five string arrays — the round-3 shuffle/decode diet.
+    * Returns (simText, simMedia, simAlign, score, mediaUsable, vetoed).
+    */
+  def scorePairIds(
+      txtA: String, tokA: Array[Long], mIdsA: Array[Long], mWsA: Array[Double], xA: Array[Long],
+      txtB: String, tokB: Array[Long], mIdsB: Array[Long], mWsB: Array[Double], xB: Array[Long],
+      cfg: ScoreConfig): (Double, Double, Double, Double, Boolean, Boolean) = {
+    val mediaUsable = math.min(mIdsA.length, mIdsB.length) >= cfg.minMediaEvidence
+    if (cfg.prescreenOverlap > 0.0 && tokenOverlapRatioLong(tokA, tokB) < cfg.prescreenOverlap)
+      return (0.0, 0.0, 0.0, 0.0, mediaUsable, false)
+    val simText = 0.5 * TextSim.jaroWinkler(txtA, txtB) + 0.5 * TextSim.levenshteinRatio(txtA, txtB)
+    val simMedia = weightedJaccardSorted(mIdsA, mWsA, mIdsB, mWsB)
+    val simAlign =
+      if (cfg.alignWeight <= 0.0) 0.0
+      else {
+        val q = TextSim.tokenLcsLong(tokA, tokB)
+        alignScoreFromLcs(q, tokA.length, tokB.length, cfg.alignDecay, cfg.alignBlend,
+          cfg.alignCostCo, cfg.alignCostAOnly, cfg.alignCostBOnly)
+      }
+    val vetoed = cfg.exclusivePrefix.nonEmpty && exclusiveConflictSorted(xA, xB)
+    val score = blendChannels(simText, simMedia, simAlign, mediaUsable, vetoed, cfg)
+    (simText, simMedia, simAlign, score, mediaUsable, vetoed)
   }
 
   /** Pure per-pair kernel (dictionary form — small-vocabulary path). */
@@ -249,62 +402,63 @@ object PairScoring {
     scorePairArrays(textA, mediaA, sa, textB, mediaB, sb, cfg)
   }
 
-  /** Score all candidate pairs. Joins candidates to per-doc precomputed
-    * token + weighted-media arrays (columnar, codegen'd), then runs the
-    * typed kernel per partition. `nDocs` feeds the idf formula; pass the
-    * cached docs count so no extra job runs here.
+  /** Score all candidate pairs against a PRECOMPUTED feature table (see
+    * `features`; callers persist it — the pipeline does — so the idf
+    * aggregation and tokenization run once per pipeline, not once per
+    * downstream materialization).
+    */
+  def scoreFeatures(
+      spark: SparkSession,
+      feats: DataFrame,
+      candidates: DataFrame,
+      cfg: ScoreConfig = ScoreConfig()): Dataset[ScoredPair] = {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    def side(s: String) = feats.select(col("doc_id").as(s"doc_id_$s"), col("txt").as(s"txt_$s"),
+      col("tok_ids").as(s"tok_$s"), col("m_ids").as(s"mi_$s"),
+      col("m_ws").as(s"mw_$s"), col("x_ids").as(s"x_$s"))
+    val joinedDf = candidates
+      .join(side("a"), "doc_id_a")
+      .join(side("b"), "doc_id_b")
+      .select("doc_id_a", "doc_id_b", "block_key",
+        "txt_a", "tok_a", "mi_a", "mw_a", "x_a",
+        "txt_b", "tok_b", "mi_b", "mw_b", "x_b")
+    // columnar prescreen BEFORE the typed decode: junk pairs are rejected
+    // while still inside Tungsten rows (native overlap_milli_long over
+    // primitive long arrays) instead of paying the UnsafeRow→Scala decode —
+    // the measured allocation hot spot on junk-dominated candidate sets.
+    // Threshold floor()'d so the columnar filter is a strict SUPERSET of
+    // the kernel's exact check (which remains the authority).
+    val screened =
+      if (cfg.prescreenOverlap <= 0.0) joinedDf
+      else {
+        val thr = math.floor(cfg.prescreenOverlap * 1000).toInt
+        joinedDf.where(graft.functions.OverlapLongExpression.overlapMilliLong(
+          col("tok_a"), col("tok_b")) >= thr)
+      }
+    val joined = screened.as[(String, String, Long,
+      String, Array[Long], Array[Long], Array[Double], Array[Long],
+      String, Array[Long], Array[Long], Array[Double], Array[Long])]
+    joined.mapPartitions { it =>
+      it.map { case (a, b, bk, txa, ta, mia, mwa, xa, txb, tb, mib, mwb, xb) =>
+        val (st, sm, sal, sc, mu, vt) = scorePairIds(txa, ta, mia, mwa, xa, txb, tb, mib, mwb, xb, cfg)
+        ScoredPair(a, b, bk, st, sm, sal, sc, mu, vt)
+      }
+    }
+  }
+
+  /** Convenience: features + scoreFeatures in one call (no persist — the
+    * pipeline manages the feature-table cache lifetime itself). `nDocs`
+    * feeds the idf formula; pass the cached docs count so no extra job
+    * runs here.
     */
   def score(
       spark: SparkSession,
       docs: DataFrame,
       candidates: DataFrame,
       nDocs: Long,
-      cfg: ScoreConfig = ScoreConfig()): Dataset[ScoredPair] = {
-    import spark.implicits._
-    graft.GraftExtensions.register(spark)
-    // columnar feature extraction once per doc (not per pair)
-    val media = mediaFeatures(docs, nDocs)
-    val feats = docs.select(
-      col("doc_id"),
-      Blocking.textTokens(col("spans")).as("toks"))
-      .join(media, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("toks"),
-        coalesce(col("m_toks"), array().cast("array<string>")).as("m_toks"),
-        coalesce(col("m_ws"), array().cast("array<double>")).as("m_ws"))
-    val fa = feats.select(col("doc_id").as("doc_id_a"), col("toks").as("toks_a"),
-      col("m_toks").as("mt_a"), col("m_ws").as("mw_a"))
-    val fb = feats.select(col("doc_id").as("doc_id_b"), col("toks").as("toks_b"),
-      col("m_toks").as("mt_b"), col("m_ws").as("mw_b"))
-    val joinedDf = candidates
-      .join(fa, "doc_id_a")
-      .join(fb, "doc_id_b")
-      .select("doc_id_a", "doc_id_b", "block_key",
-        "toks_a", "mt_a", "mw_a", "toks_b", "mt_b", "mw_b")
-    // columnar prescreen BEFORE the typed decode: junk pairs are rejected
-    // while still inside Tungsten rows (native token_overlap_milli over
-    // UTF8String bytes) instead of paying the UnsafeRow→Scala decode of
-    // five array columns each — the measured allocation hot spot on
-    // junk-dominated candidate sets. Threshold floor()'d so the columnar
-    // filter is a strict SUPERSET of the kernel's exact check (which
-    // remains the authority).
-    val screened =
-      if (cfg.prescreenOverlap <= 0.0) joinedDf
-      else {
-        graft.GraftExtensions.register(spark)
-        val thr = math.floor(cfg.prescreenOverlap * 1000).toInt
-        joinedDf.where(graft.functions.TokenOverlapExpression.tokenOverlapMilli(
-          slice(col("toks_a"), 1, cfg.maxTokens),
-          slice(col("toks_b"), 1, cfg.maxTokens)) >= thr)
-      }
-    val joined = screened.as[(String, String, Long, Seq[String], Seq[String], Seq[Double],
-           Seq[String], Seq[String], Seq[Double])]
-    joined.mapPartitions { it =>
-      it.map { case (a, b, bk, ta, mta, mwa, tb, mtb, mwb) =>
-        val (st, sm, sa, sc) = scorePairArrays(ta, mta, mwa, tb, mtb, mwb, cfg)
-        ScoredPair(a, b, bk, st, sm, sa, sc)
-      }
-    }
-  }
+      cfg: ScoreConfig = ScoreConfig()): Dataset[ScoredPair] =
+    scoreFeatures(spark, features(docs, nDocs, cfg), candidates, cfg)
 
   /** Broadcast-dictionary scoring variant (small vocabularies / per-block
     * dictionaries): same kernel, weights looked up in a broadcast map.
@@ -334,7 +488,9 @@ object PairScoring {
       val w: String => Double = t => idf.getOrElse(t, defaultIdf)
       it.map { case (a, b, bk, ta, ma, tb, mb) =>
         val (st, sm, sa, sc) = scorePair(ta, ma, tb, mb, w, cfg)
-        ScoredPair(a, b, bk, st, sm, sa, sc)
+        val mu = math.min(ma.size, mb.size) >= cfg.minMediaEvidence
+        ScoredPair(a, b, bk, st, sm, sa, sc, mu,
+          exclusiveConflict(ma, mb, cfg.exclusivePrefix))
       }
     }
   }

@@ -36,11 +36,13 @@ object EntityResolution {
       scoredPairs: DataFrame,
       blocking: DataFrame,
       ccIterations: Int,
-      counters: Map[String, Long]) {
-    /** Release the cached blocking output (it is persisted + materialized by
-      * Blocking.block); later uses of `blocking` recompute from source.
+      counters: Map[String, Long],
+      private[pipeline] val toked: Option[DataFrame] = None) {
+    /** Release the cached blocking output (persisted + materialized by
+      * Blocking.block) and the shared tokenized-relation cache; later uses
+      * of `blocking`/`scoredPairs` recompute from source.
       */
-    def release(): Unit = blocking.unpersist()
+    def release(): Unit = { blocking.unpersist(); toked.foreach(_.unpersist()) }
   }
 
   /** Run the full pipeline. When `runDir` is given, each stage is committed
@@ -67,24 +69,41 @@ object EntityResolution {
         case None => (compute, counters)
       }
 
+    // the shared tokenized relation: ONE span-extraction pass over the
+    // source feeds blocking and scoring (Blocking.tokenized); the flat
+    // (doc_id, toks, md) cache is far cheaper to rescan than the
+    // nested-struct span table
+    var tokedRef: Option[DataFrame] = None
+    def toked: DataFrame = tokedRef.getOrElse {
+      val t = Blocking.tokenized(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tokedRef = Some(t)
+      t
+    }
+
     // stage 1: blocking
     var blockCounters = Map.empty[String, Long]
     val (blocking, c1) = staged("blocking", blockCounters) {
-      val (b, c) = Blocking.block(docs, cfg.numBands, cfg.rowsPerBand, cfg.maxBlockSize, cfg.tokenBands)
+      val (b, c) = Blocking.blockTokenized(toked, cfg.numBands, cfg.rowsPerBand, cfg.maxBlockSize, cfg.tokenBands)
       blockCounters = c
       b
     }
 
     // stage 2: scoring — idf weights computed distributedly and joined in
-    // as per-doc arrays (no driver dictionary at any corpus size)
+    // as per-doc hash-encoded arrays (no driver dictionary at any corpus
+    // size); tokenization runs once per materialization via the shared
+    // media-token exchange inside PairScoring.features (ReuseExchange)
     var scoreCounters = Map.empty[String, Long]
     val (scored, c2) = staged("scored_pairs", scoreCounters) {
       val candidates = Blocking.candidatePairs(blocking)
       val nDocs = docs.count()
-      val s = PairScoring.score(spark, docs, candidates, nDocs, cfg.scoring).toDF()
+      val feats = PairScoring.featuresTokenized(toked, nDocs, cfg.scoring)
+      val s = PairScoring.scoreFeatures(spark, feats, candidates, cfg.scoring).toDF()
       scoreCounters = Map("docs_scored_against" -> nDocs)
       s
     }
+    // in runDir mode both consumers of the tokenized cache are durable now
+    if (runDir.isDefined) { tokedRef.foreach(_.unpersist()); tokedRef = None }
 
     // stage 3: clustering
     var ccIters = 0
@@ -100,7 +119,7 @@ object EntityResolution {
       assign
     }
 
-    Result(assignments, scored, blocking, ccIters, c1 ++ c2 ++ c3)
+    Result(assignments, scored, blocking, ccIters, c1 ++ c2 ++ c3, tokedRef)
   }
 
   /** Derive labeled pairs at shared blocking keys (FIXTURES.md §2):

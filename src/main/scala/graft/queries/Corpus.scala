@@ -186,32 +186,74 @@ object Corpus {
       .select(col("vec_a"), col("vec_b"), floor(col("cos") * 1000).cast("long").as("cos_milli"))
   }
 
-  /** IVF (inverted-file) ANN: centroids = vectors with vec_id < 8
-    * (broadcast); every vector is assigned to its nearest centroid (argmax
-    * cosine, ties → smaller centroid id); each query (vec_id < 20) searches
-    * only its own cell — the single-probe scale path: one shuffle on
-    * cell_id instead of an all-pairs cross join.
+  /** Number of Lloyd refinement rounds for q25's IVF index (unrolled
+    * identically in the DuckDB oracle).
+    */
+  val IvfKmeansIters = 3
+
+  /** IVF (inverted-file) ANN with LEARNED centroids + multi-probe:
+    * k = 8 centroids, deterministically seeded from the first 8 vectors,
+    * refined by `IvfKmeansIters` Lloyd rounds run as a DataFrame loop —
+    * assignment is an argmax over broadcast centroid literals (array_max
+    * over (cos, -cent_id) structs: ties to the smaller id; no window), the
+    * update is ONE per-dimension hash aggregation whose k×dim result is
+    * collected (centroids are a driver-side dimension, like any broadcast
+    * dim). Centroid components are FLOORED integer means so every cosine
+    * stays exact-integer-dot → the oracle replays the same rounds
+    * bit-for-bit. Queries (vec_id < 20) probe their top-2 nearest cells
+    * (multi-probe recall insurance at the cost of ~2 cells scanned); each
+    * candidate set is ranked by the bounded TopKAggregator.
+    * Scale shape: one shuffle per Lloyd round (the k×dim aggregation) and
+    * one equi-join on cell at query time — never an all-pairs product.
     */
   def q25_embed_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
+    import org.apache.spark.sql.Column
+    val k = 8; val probes = 2
     val e = emb(spark, dir).repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
-    val cents = e.where(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("n2").as("cn2"))
-    // cell assignment = argmax over the 8 broadcast centroids — a plain
-    // max_by hash aggregation (ccos desc, cent_id asc via negated id), no
-    // ranking window, no sort
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", qcos(qdot(col("q"), col("cq")), col("n2"), col("cn2")))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
-        first(col("q")).as("q"), first(col("n2")).as("n2"))
-    val queries = assigned.where(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"), col("cell"))
+      .persist()
+    // seeded init: the first k vectors (deterministic, no RNG)
+    var cents: Array[(Long, Array[Long])] = e.where(col("vec_id") < k)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+
+    def centStructs(cs: Array[(Long, Array[Long])]): Column = array(cs.map { case (cid, cq) =>
+      val cn2 = cq.map(x => x * x).sum
+      struct(
+        qcos(qdot(col("q"), typedLit(cq.toSeq)), col("n2"), lit(cn2)).as("s"),
+        lit(-cid).as("nid"))
+    }: _*)
+    // argmax cosine, ties -> smaller cent_id (larger -cid)
+    def cellCol(cs: Array[(Long, Array[Long])]): Column =
+      -array_max(centStructs(cs)).getField("nid")
+
+    (1 to IvfKmeansIters).foreach { _ =>
+      val upd = e.select(cellCol(cents).as("cell"), posexplode(col("q")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("m"))
+        .collect()
+      val byCell = upd.groupBy(_.getLong(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+      }
+      // empty-cell guard: a cell that attracted no vectors keeps its centroid
+      cents = cents.map { case (cid, cq) => (cid, byCell.getOrElse(cid, cq)) }
+    }
+
+    val assigned = e.select(col("vec_id"), col("q"), col("n2"), cellCol(cents).as("cell"))
+    // multi-probe: top-`probes` cells per query = reverse-sorted (s, nid)
+    // structs, sliced — a per-row array op over k elements, no shuffle
+    val queries = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"),
+        slice(reverse(array_sort(centStructs(cents))), 1, probes).as("top"))
+      .select(col("query_id"), col("qq"), col("qn2"),
+        explode(col("top")).as("probe"))
+      .select(col("query_id"), col("qq"), col("qn2"), (-col("probe.nid")).as("cell"))
     val topk = graft.functions.TopKAggregator.topK(3)
-    assigned.join(broadcast(queries), "cell")
+    val out = assigned.join(broadcast(queries), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         qcos(qdot(col("q"), col("qq")), col("n2"), col("qn2")).as("cos"))
@@ -219,6 +261,8 @@ object Corpus {
       .agg(topk(col("vec_id"), col("cos")).as("nbrs"))
       .select(col("query_id"), posexplode(col("nbrs")))
       .select(col("query_id"), col("col").as("neighbor_id"), (col("pos") + 1).cast("bigint").as("rank"))
+    e.unpersist()
+    out
   }
 
   /** Language-ID by stopword-profile scoring: per-language marker lists;

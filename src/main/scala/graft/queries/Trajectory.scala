@@ -56,11 +56,15 @@ object Trajectory {
           (i, c) => when(c === i + 1, i + 1).otherwise(i)) === 3).as("matched"))
   }
 
-  /** W5: KDE peak-pick pattern mining — per-user gaussian kernel density
-    * over event times-of-day, centers by distance z-score (reference
-    * Model.scala:93-189) — a typed mapGroups kernel (O(n²) per user; n per
-    * user is small by construction). No SQL oracle (rows-only check);
-    * the pure kernel is unit-tested in KernelsSpec.
+  /** W5: KDE peak-pick pattern mining — per-user kernel density over event
+    * times-of-day, centers by distance z-score (reference Model.scala:
+    * 93-189) — a typed mapGroups kernel (O(n²) per user; n per user is
+    * small by construction — the reference's own contract). Round 3 runs
+    * the INTEGER-EXACT Epanechnikov variant (Kernels.kdeCentersInt) so a
+    * DuckDB oracle reproduces every branch bit-for-bit; the
+    * reference-faithful gaussian twin (Kernels.kdeCenters) is the
+    * structural spec, KernelsSpec asserts the two agree on separated
+    * clusters.
     */
   def q33_kde_patterns(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -70,10 +74,10 @@ object Trajectory {
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroups { (uid, it) =>
-        val times = it.map(_._2.toDouble).toArray.sorted // sort: partition-order independent
-        val centers = Kernels.kdeCenters(times, h = 1800.0, zThreshold = 2.0)
-        val assigned = times.map(Kernels.assignToCenters(_, centers))
-        (uid, centers.length.toLong, assigned.count(_ > 0).toLong, times.length.toLong)
+        val times = it.map(_._2).toArray.sorted // sort: partition-order independent
+        val centers = Kernels.kdeCentersInt(times, h = 1800L, z = 2L)
+        val assigned = times.count(Kernels.assignToCentersInt(_, centers) >= 0L)
+        (uid, centers.length.toLong, assigned.toLong, times.length.toLong)
       }
       .toDF("user_id", "n_centers", "n_assigned", "n_events")
   }
@@ -343,11 +347,87 @@ object Trajectory {
         "comp_start_ms", "comp_end_ms", "completed")
   }
 
+  /** W5→W6 integration (reference Model.scala:363-415 + APCompletion.scala:
+    * 213-261 + assignment Model.scala:140-160): trip completion toward the
+    * KDE-PATTERN the session belongs to, not the one global modal OD.
+    * Sessions (30-min gap) are assigned to the user's KDE centers over
+    * session-START times-of-day (cluster id = the center's sod; −1 when no
+    * center within 90 min); each session completes toward its OWN cluster's
+    * modal OD — the recurring-habit pattern — falling back to the user's
+    * global modal OD for unassigned sessions. Same OD-interval arithmetic
+    * as q43; fully oracle-checked (integer-exact KDE, see q33).
+    */
+  def q47_pattern_completion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3)) // (ms, event_id) order
+        val sessions = Kernels.sessionizeOD(evs.map(e => (e._2, e._4)).toSeq, 1800000L)
+        val globalModal = Kernels.modalOD(sessions)
+        val sods = sessions.map(s => (s.startMs / 1000L) % 86400L).toArray
+        val centers = Kernels.kdeCentersInt(sods.clone().sorted, 1800L, 2L)
+        val clusters = sods.map(Kernels.assignToCentersInt(_, centers))
+        val byCluster: Map[Long, (String, String)] = clusters.zip(sessions).toSeq
+          .filter(_._1 >= 0L)
+          .groupBy(_._1)
+          .map { case (c, ss) => c -> Kernels.modalOD(ss.map(_._2)) }
+        sessions.zipWithIndex.map { case (s, i) =>
+          val cl = clusters(i)
+          val pattern = if (cl >= 0L) byCluster(cl) else globalModal
+          val (cs, ce, done) = Kernels.completeTrips(Seq(s), pattern).head
+          (uid, (i + 1).toLong, cl, s.first, s.last, cs, ce, done)
+        }
+      }
+      .toDF("user_id", "session_id", "cluster_sod", "first_type", "last_type",
+        "comp_start_ms", "comp_end_ms", "completed")
+  }
+
+  /** Weekly→monthly score aggregation (reference MultiUserMatch.scala:
+    * 181-196 with getWeek :208-217): same-type time-collision evidence is
+    * scored per (pair, month, week-of-month) — attribution to the smaller
+    * user's event week, as the reference attributes to the AFC trip — then
+    * summed to monthly with a week-coverage floor (a pair must co-occur in
+    * ≥ 2 distinct weeks of the month to count as a stable match).
+    * Scale shape: the q37 bucket-join (no per-pair scans), one extra
+    * aggregation level — weekly partials combine map-side before the
+    * monthly shuffle.
+    */
+  def q48_weekly_monthly(spark: SparkSession, dir: String): DataFrame = {
+    val tol = 300000L
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"),
+        date_format(col("ts"), "yyyy-MM").as("month"),
+        floor((dayofmonth(col("ts")) - 1) / 7).cast("long").as("wom"))
+      .withColumn("bucket", floor(col("ms") / tol))
+    val a = ev.select(col("user_id").as("ua"), col("event_type"), col("ms").as("ms_a"),
+      col("month"), col("wom"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val b = ev.select(col("user_id").as("ub"), col("event_type"), col("ms").as("ms_b"), col("bucket"))
+    val weekly = a.join(b, Seq("event_type", "bucket"))
+      .where(col("ua") < col("ub") && abs(col("ms_a") - col("ms_b")) <= tol)
+      .groupBy("ua", "ub", "month", "wom")
+      .agg(count(lit(1)).as("n_collisions"))
+    weekly.groupBy("ua", "ub", "month")
+      .agg(count(lit(1)).as("n_weeks"), sum(col("n_collisions")).as("total_collisions"))
+      .where(col("n_weeks") >= 2)
+  }
+
   /** The flagship ER pipeline as a registered query: documents → interleaved
     * span table (text tokens as text spans, source/lang as media spans) →
     * blocking → scoring → connected components → cluster assignments.
-    * Rows-only driver check (clustering is not ANSI-SQL-expressible);
-    * the F1/cluster-equality gate runs in `sbt -batch test` + graft.Main.
+    * Oracle-checked since round 3: the DuckDB twin recomputes the clustering
+    * as a recursive-CTE transitive closure over exact shingle-Jaccard ≥ 0.5
+    * edges with cluster_id = min doc_id (ConnectedComponents' canonical
+    * labeling) — on this corpus the pipeline's LSH + blended-score gate
+    * provably selects the same pairs (verified equal at sf0.001/0.01/0.1).
+    * The 4-channel scorer's own gate (F1/cluster equality/rank@k on planted
+    * gold) runs in `sbt -batch test` + graft.Main.
     */
   def q36_er_cluster(spark: SparkSession, dir: String): DataFrame = {
     val toks = CorpusExpr.tokens(col("text"))

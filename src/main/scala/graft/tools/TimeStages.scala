@@ -19,9 +19,20 @@ object TimeStages {
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+        if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+      }
+    })
     def tm[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"STAGE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      val t0 = System.nanoTime(); val m0 = taskMs.get; val c0 = cpuNs.get
+      val r = f
+      println(f"STAGE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"task=${(taskMs.get - m0) / 1e3}%.1f s cpu=${(cpuNs.get - c0) / 1e9}%.1f s")
+      r
     }
     val toks = CorpusExpr.tokens(col("text"))
     val spans = transform(toks, (tk, i) =>
@@ -34,7 +45,7 @@ object TimeStages {
     val synth = dir.startsWith("synth:")
     tm("materialize docs")(docsDf.count())
     tm("keyedDocs only")(println("  keyed rows=" +
-      Blocking.keyedDocs(docsDf, 16, 3, 0).count()))
+      Blocking.keyedDocs(Blocking.tokenized(docsDf), 16, 3, 0).count()))
     val (blocking, c) = tm("block build")(
       if (synth) Blocking.block(docsDf) else Blocking.block(docsDf, 12, 3, 1000, 0))
     blocking.persist()

@@ -91,6 +91,68 @@ class KernelsSpec extends AnyFunSuite {
     assert(headI >= 300000L && headI <= 700000L)
   }
 
+  test("kdeCentersInt agrees structurally with the gaussian spec on separated habits") {
+    val morning = Array.tabulate(20)(i => 8L * 3600 + i * 60)
+    val evening = Array.tabulate(20)(i => 18L * 3600 + i * 60)
+    val times = (morning ++ evening).sorted
+    val intC = Kernels.kdeCentersInt(times, h = 1800L, z = 1L)
+    val gauC = Kernels.kdeCenters(times.map(_.toDouble), h = 1800.0, zThreshold = 1.0)
+    assert(intC.length >= 2)
+    // both variants place a center inside each habit window
+    for (habit <- Seq(8.2 * 3600, 18.2 * 3600)) {
+      assert(intC.exists(c => math.abs(c - habit) < 3600), s"int variant missed $habit")
+      assert(gauC.exists(c => math.abs(c - habit) < 3600), s"gaussian spec missed $habit")
+    }
+  }
+
+  test("kdeCentersInt degenerate inputs mirror the gaussian spec") {
+    assert(Kernels.kdeCentersInt(Array.empty).isEmpty)
+    assert(Kernels.kdeCentersInt(Array(42L)).sameElements(Array(42L)))
+    assert(Kernels.kdeCentersInt(Array.fill(5)(100L)).length == 1)
+    // two points, equal density: var=0 path → single argmax-density center
+    assert(Kernels.kdeCentersInt(Array(100L, 50000L)).length == 1)
+  }
+
+  test("assignToCentersInt: nearest center VALUE within dc, ties to larger, -1 outside") {
+    val centers = Array(1000L, 5000L)
+    assert(Kernels.assignToCentersInt(1200L, centers) == 1000L)
+    assert(Kernels.assignToCentersInt(4800L, centers) == 5000L)
+    assert(Kernels.assignToCentersInt(3000L, centers) == 5000L) // tie → larger (walk order)
+    assert(Kernels.assignToCentersInt(50000L, centers) == -1L)
+  }
+
+  test("pattern-conditional completion differs from global-modal completion (W5→W6)") {
+    // a user with TWO habits: morning a→b (3 trips), evening c→d (2 trips),
+    // plus one PARTIAL evening trip observed c→x.
+    // Global modal = (a,b): the partial evening trip would complete toward
+    // b. Pattern completion assigns it to the evening KDE cluster, whose
+    // modal is (c,d) → completes toward d — a different tail extension.
+    val day = 86400000L
+    def sess(f: String, l: String, sod: Long, d: Int) =
+      Kernels.SessionOD(f, l, d * day + sod * 1000L, d * day + sod * 1000L + 600000L)
+    val sessions = Vector(
+      sess("a", "b", 8 * 3600, 0), sess("a", "b", 8 * 3600 + 60, 1), sess("a", "b", 8 * 3600 + 120, 2),
+      sess("c", "d", 18 * 3600, 0), sess("c", "d", 18 * 3600 + 60, 1),
+      sess("c", "x", 18 * 3600 + 120, 2))
+    val globalModal = Kernels.modalOD(sessions)
+    assert(globalModal == ("a", "b"))
+    val sods = sessions.map(s => (s.startMs / 1000L) % 86400L).toArray
+    val centers = Kernels.kdeCentersInt(sods.clone().sorted, 1800L, 1L)
+    val clusters = sods.map(Kernels.assignToCentersInt(_, centers))
+    val partialCluster = clusters(5)
+    assert(partialCluster >= 0L, "partial trip must land in the evening cluster")
+    val clusterModal = Kernels.modalOD(
+      clusters.zip(sessions).filter(_._1 == partialCluster).map(_._2))
+    assert(clusterModal == ("c", "d"))
+    val global = Kernels.completeTrips(Seq(sessions(5)), globalModal).head
+    val pattern = Kernels.completeTrips(Seq(sessions(5)), clusterModal).head
+    assert(global != pattern, "the two completion policies must diverge here")
+    // pattern completion keeps the head (first == cluster origin c) and
+    // extends the tail toward d; global-modal would also move the head
+    assert(pattern._1 == sessions(5).startMs && pattern._2 > sessions(5).endMs)
+    assert(global._1 < sessions(5).startMs)
+  }
+
   test("kdeCenters is deterministic for a fixed (sorted) input") {
     val times = Array(100.0, 200.0, 300.0, 30000.0, 30100.0)
     val a = Kernels.kdeCenters(times)

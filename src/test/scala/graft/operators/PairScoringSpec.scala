@@ -151,6 +151,40 @@ class PairScoringSpec extends SparkSpec {
     assert(sc > 0.6, s"score $sc — prescreen must not kill this pair")
   }
 
+  test("scorePairIds == scorePairArrays under a collision-free token encoding (property)") {
+    import org.scalacheck.{Gen, Prop}
+    // the hashed-id kernel must reproduce the string kernel exactly when
+    // the encoding is injective (xxhash64 collisions are ~2^-64; here we
+    // use a perfect dictionary so any mismatch is a kernel bug)
+    val tok = Gen.oneOf("alpha", "beta", "gamma", "dlta", "epsilon", "zeta", "eta", "thta")
+    val mtok = Gen.oneOf("m1", "m2", "m3", "xid:A", "xid:B", "xid:C")
+    def w(t: String): Double = 1.0 + (math.abs(t.hashCode) % 10) / 10.0
+    def dict(t: String): Long = t.hashCode.toLong // injective on this alphabet
+    val sideGen = Gen.zip(Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, tok)), Gen.listOf(mtok).map(_.distinct))
+    checkProp(Prop.forAll(sideGen, sideGen) { case ((ta, ma), (tb, mb)) =>
+      val cfgs = Seq(cfg, cfg.copy(prescreenOverlap = 0.0),
+        cfg.copy(exclusivePrefix = "", minMediaEvidence = 1, gammaText = 0.7))
+      cfgs.forall { c =>
+        val (st, sm, sa, sc) = PairScoring.scorePairArrays(
+          ta, ma, ma.map(w), tb, mb, mb.map(w), c)
+        def enc(toks: Seq[String]) = toks.take(c.maxTokens).map(dict).toArray
+        def med(ms: Seq[String]) = {
+          val sorted = ms.map(t => (dict(t), w(t))).sortBy(_._1)
+          (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+        }
+        val (mia, mwa) = med(ma); val (mib, mwb) = med(mb)
+        def xs(ms: Seq[String]) =
+          if (c.exclusivePrefix.isEmpty) Array.empty[Long]
+          else ms.filter(_.startsWith(c.exclusivePrefix)).map(dict).sorted.toArray
+        val (st2, sm2, sa2, sc2, _, _) = PairScoring.scorePairIds(
+          ta.take(c.maxTokens).mkString(" "), enc(ta), mia, mwa, xs(ma),
+          tb.take(c.maxTokens).mkString(" "), enc(tb), mib, mwb, xs(mb), c)
+        math.abs(st - st2) < 1e-12 && math.abs(sm - sm2) < 1e-9 &&
+          math.abs(sa - sa2) < 1e-12 && math.abs(sc - sc2) < 1e-9
+      }
+    })
+  }
+
   test("weighted jaccard arrays: symmetric, bounded, idf-sensitive") {
     val w = PairScoring.weightedJaccardArrays(
       Seq("a", "b"), Seq(1.0, 3.0), Seq("b", "c"), Seq(3.0, 1.0))

@@ -87,6 +87,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sweep: default blend config is an argmax of the (gamma, threshold) F1 grid") {
+    val res = EntityResolution.run(spark, docs)
+    val labeled = EntityResolution.labeledPairs(res.blocking, gold).cache()
+    val scored = res.scoredPairs.cache()
+    val sc = EntityResolution.PipelineConfig().scoring
+    val pts = Eval.sweepBlend(scored, labeled, sc,
+      gammas = (0 to 10).map(_ / 10.0) :+ sc.gammaText, thresholds = Seq(0.5, 0.6, 0.7, 0.8))
+    val best = pts.map(_.f1).max
+    val default = pts.find(p => p.gammaText == sc.gammaText && p.threshold == 0.6)
+    info(s"grid max F1 = $best; default point = $default")
+    assert(default.isDefined, "default config's grid point missing")
+    assert(default.get.f1 >= best - 1e-9,
+      s"default config F1 ${default.get.f1} is not the grid argmax $best")
+    // the re-blend column must reproduce the committed kernel score exactly
+    // at the shipped gamma (same IEEE op order)
+    val diff = scored.withColumn("re",
+      graft.operators.PairScoring.blendColumn(col("sim_text"), col("sim_media"),
+        col("sim_align"), col("media_usable"), col("vetoed"), sc, sc.gammaText))
+      .where(col("re") =!= col("score"))
+    assert(diff.isEmpty, "blendColumn diverges from the scoring kernel")
+    labeled.unpersist(); scored.unpersist()
+  }
+
   test("span-sequence invariant holds through the pipeline") {
     // docs are never mutated by the pipeline; assert the invariant checker
     // itself: identical input => 0 violations, a mutated doc => >0
