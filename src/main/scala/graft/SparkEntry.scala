@@ -66,7 +66,7 @@ object SparkEntry {
   /** q25's oracle replays the EXACT k-means-IVF computation: the same
     * seeded init, the same `Corpus.IvfKmeansIters` Lloyd rounds unrolled
     * as CTEs (floored-integer centroid means keep every cosine an exact
-    * integer-dot ratio), the same top-2 multi-probe. Generated so the
+    * integer-dot ratio), the same top-3 multi-probe. Generated so the
     * round count can never drift between engine and oracle.
     */
   private def q25OracleSql: String = {
@@ -101,7 +101,7 @@ object SparkEntry {
        |probes AS (SELECT query_id, cell FROM (
        |  SELECT q0.query_id, c.cent_id AS cell,
        |    ROW_NUMBER() OVER (PARTITION BY q0.query_id ORDER BY ${cos("q0.qq", "c.cq", "q0.qn2", "c.cn2")} DESC, c.cent_id ASC) AS pr
-       |  FROM qs q0 CROSS JOIN c$iters c) WHERE pr <= 2),
+       |  FROM qs q0 CROSS JOIN c$iters c) WHERE pr <= 3),
        |cand AS (SELECT p.query_id, af.vec_id FROM probes p JOIN af ON af.cell = p.cell),
        |sc AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
        |    ${cos("nv.q", "q0.qq", "nv.n2", "q0.qn2")} AS cos

@@ -96,7 +96,9 @@ object EntityResolution {
     var scoreCounters = Map.empty[String, Long]
     val (scored, c2) = staged("scored_pairs", scoreCounters) {
       val candidates = Blocking.candidatePairs(blocking)
-      val nDocs = docs.count()
+      // corpus size from the persisted tokenized cache — the source table
+      // itself is scanned exactly ONCE per run (into `toked`)
+      val nDocs = toked.count()
       val feats = PairScoring.featuresTokenized(toked, nDocs, cfg.scoring)
       val s = PairScoring.scoreFeatures(spark, feats, candidates, cfg.scoring).toDF()
       scoreCounters = Map("docs_scored_against" -> nDocs)
@@ -112,8 +114,11 @@ object EntityResolution {
       val edges = scored
         .where(col("score") >= cfg.scoreThreshold)
         .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      // node universe from the tokenized cache when it exists (no extra
+      // source scan); resumed runs fall back to the raw docs projection
+      val allIds = tokedRef.map(_.select(col("doc_id"))).getOrElse(docs.select(col("doc_id")))
       val (assign, iters) = ConnectedComponents.assignAll(
-        spark, docs.select(col("doc_id")), edges, cfg.maxCcIter)
+        spark, allIds, edges, cfg.maxCcIter)
       ccIters = iters
       ccCounters = Map("cc_iterations" -> iters.toLong)
       assign

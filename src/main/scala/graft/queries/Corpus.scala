@@ -200,8 +200,8 @@ object Corpus {
     * collected (centroids are a driver-side dimension, like any broadcast
     * dim). Centroid components are FLOORED integer means so every cosine
     * stays exact-integer-dot → the oracle replays the same rounds
-    * bit-for-bit. Queries (vec_id < 20) probe their top-2 nearest cells
-    * (multi-probe recall insurance at the cost of ~2 cells scanned); each
+    * bit-for-bit. Queries (vec_id < 20) probe their top-3 nearest cells
+    * (multi-probe recall insurance at the cost of ~3 of the 8 cells scanned); each
     * candidate set is ranked by the bounded TopKAggregator.
     * Scale shape: one shuffle per Lloyd round (the k×dim aggregation) and
     * one equi-join on cell at query time — never an all-pairs product.
@@ -209,7 +209,7 @@ object Corpus {
   def q25_embed_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
     import org.apache.spark.sql.Column
-    val k = 8; val probes = 2
+    val k = 8; val probes = 3
     val e = emb(spark, dir).repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
