@@ -26,17 +26,16 @@ object Explain {
     Trajectory.q35_weighted_jaccard(spark, dir).explain()
     println("==== q44 (expect PartitionFilters: in(event_type, ...))")
     Sources.q44_partitioned_scan(spark, dir).explain("formatted")
-    println("==== features (expect ReusedExchange on the media-token relation: one tokenization pass)")
+    println("==== features (expect the exploded media-token relation CACHED: both its")
+    println("     consumers read InMemoryTableScan, i.e. one tokenization pass per run)")
     locally {
-      import org.apache.spark.sql.functions._
       val docs = graft.synth.DocGen.docs(spark,
         graft.synth.GenConfig(numEntities = 100, docsPerEntity = 3)).toDF()
       val feats = graft.operators.PairScoring.features(docs, 300L)
-      feats.count() // materialize: AQE stage reuse shows in the FINAL plan
       val plan = feats.queryExecution.executedPlan.toString
-      println(if (plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"))
-                "  OK: media-token exchange reused (one tokenization pass)"
-              else "  MISSING ReusedExchange!\n" + plan.take(3000))
+      val scans = "InMemoryTableScan".r.findAllIn(plan).length
+      println(if (scans >= 2) s"  OK: $scans InMemoryTableScans of the shared media-token relation"
+              else s"  MISSING shared cache (found $scans InMemoryTableScans)!\n" + plan.take(3000))
     }
     spark.stop()
   }
