@@ -108,6 +108,10 @@ object Kernels {
     */
   def kdeCentersInt(times: Array[Long], h: Long = 1800L, z: Long = 2L): Array[Long] = {
     val n = times.length
+    // overflow guard (see scaladoc): L² with L ≤ n·2·max|t| must stay in
+    // int64 — fail loud rather than silently wrap (a user with more than
+    // ~8k events is outside the per-user-kernel contract anyway)
+    require(n <= 8000, s"kdeCentersInt: $n events exceed the int64-exact bound (~8000)")
     if (n == 0) return Array.empty
     if (n == 1) return Array(times(0))
     val h2 = h * h
