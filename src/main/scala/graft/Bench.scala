@@ -21,17 +21,20 @@ import org.apache.spark.sql.SparkSession
   * interleaving) — cross-round efficiency numbers are not comparable.
   *
   * Ambient host load varies by tens of percent over minutes on this box,
-  * so the legs are INTERLEAVED (N, 4N, N, 4N, …) and each side reports its
-  * minimum wall over SPARK_GRAFT_SCALE_REPS_N (default 2) /
-  * SPARK_GRAFT_SCALE_REPS (default 5) runs — one slow window then cannot
-  * sink both sides of the ratio. The rep counts are deliberately
-  * asymmetric: the ~5-minute N leg integrates ambient noise over its own
-  * duration (its wall variance is small), while the ~90-second 4N legs
-  * need several attempts to land one clean window. EVERY leg's job census (wall, Σ task
-  * time, Σ task CPU, parallel core use) is emitted under "er_legs" so the
-  * artifact itself shows which legs hit ambient interference (a loaded
-  * window shows as task-time inflation at unchanged parallel use) instead
-  * of asserting the methodology off-artifact.
+  * so the legs are INTERLEAVED (N, 4N, N, 4N, …) over
+  * SPARK_GRAFT_SCALE_REPS_N (default 3) / SPARK_GRAFT_SCALE_REPS
+  * (default 6) runs, and the OFFICIAL efficiency is CENSUS-AWARE: each
+  * leg's job census (wall, Σ task time, Σ task CPU, parallel core use) is
+  * recorded, and a leg whose Σ task CPU exceeds its thread-count's
+  * minimum by more than SPARK_GRAFT_SCALE_CPU_VETO (default 1.25×) is
+  * VETOED — at unchanged parallel use, task-CPU inflation is the
+  * signature of ambient load stealing memory bandwidth, so such a leg
+  * measured the neighbors, not the engine. The official estimate is then
+  * min wall over the surviving (vetted) legs per side; the per-leg census
+  * with its vetoed flag, the veto factor, and a secondary estimator — the
+  * per-interleaved-(N,4N)-pair efficiency list and its median — are ALL
+  * emitted under "er_scaling"/"er_legs", so every veto/pairing decision
+  * is auditable from the artifact itself.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
   * (default 32), SPARK_GRAFT_BENCH_ENTITIES × SPARK_GRAFT_BENCH_DPE (ER
@@ -70,9 +73,10 @@ object Bench {
   final case class Leg(threads: Int, rep: Int, docs: Long, wall: Double,
                        jobs: Long, taskSec: Double, cpuSec: Double) {
     def parallelUse: Double = if (wall <= 0) 0.0 else taskSec / (wall * threads)
-    def json: String =
+    def json(vetoed: Boolean): String =
       f"""{"threads":$threads,"rep":$rep,"wall_sec":$wall%.3f,"jobs":$jobs,""" +
-        f""""task_sec":$taskSec%.1f,"cpu_sec":$cpuSec%.1f,"parallel_use":$parallelUse%.3f}"""
+        f""""task_sec":$taskSec%.1f,"cpu_sec":$cpuSec%.1f,"parallel_use":$parallelUse%.3f,""" +
+        s""""vetoed":$vetoed}"""
   }
 
   /** End-to-end ER wall time (synth + block + score + cluster + count). */
@@ -135,21 +139,21 @@ object Bench {
       spark.stop()
       (r -- fails.keys, fails)
     }
-    // ANN quality alongside speed: recall of the IVF multi-probe top-3
-    // (q25) against the brute-force top-3 (q23) over the same query set —
-    // a fast-but-wrong index must show up in the artifact, not just a
-    // fast one
+    // ANN quality alongside speed: the full recall-vs-probes curve of the
+    // IVF index against the brute-force top-3 truth (ONE trained index
+    // reused across depths), plus the recall at the shipped default
+    // `Corpus.IvfProbes` — the recall dial stays measured in the
+    // artifact, a fast-but-wrong index cannot hide
     val ivfRecall = if (skipQueries) "" else {
-      import org.apache.spark.sql.functions.col
       val spark = session(cpus)
       try {
-        val bf = SparkEntry.queries("q23_embed_cosine_topk")(spark, sfDir)
-          .where(col("rank") <= 3).select(col("query_id"), col("neighbor_id"))
-        val ivf = SparkEntry.queries("q25_embed_ivf_topk")(spark, sfDir)
-          .select(col("query_id"), col("neighbor_id"))
-        val hit = bf.join(ivf, Seq("query_id", "neighbor_id")).count()
-        val total = bf.count()
-        f""","ivf_recall_at_3":${if (total == 0) 1.0 else hit.toDouble / total}%.4f"""
+        val depths = (1 to graft.queries.Corpus.IvfK).filter(p =>
+          p <= graft.queries.Corpus.IvfProbes + 1 || p == graft.queries.Corpus.IvfK)
+        val curve = graft.queries.Corpus.ivfRecallCurve(spark, sfDir, depths)
+        val atDefault = curve.toMap.getOrElse(graft.queries.Corpus.IvfProbes,
+          curve.last._2)
+        f""","ivf_recall_at_3":$atDefault%.4f,"ivf_probes_default":${graft.queries.Corpus.IvfProbes},""" +
+          s""""ivf_recall_curve":{${curve.map { case (p, r) => f""""$p":$r%.4f""" }.mkString(",")}}"""
       } finally spark.stop()
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -165,8 +169,9 @@ object Bench {
       val dpe = sys.env.getOrElse("SPARK_GRAFT_BENCH_DPE", "3").toInt
       val cfg = GenConfig(numEntities = entities, docsPerEntity = dpe, seed = 42L)
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
-      val repsN = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS_N", "2").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "6").toInt
+      val repsN = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS_N", "3").toInt
+      val vetoF = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPU_VETO", "1.25").toDouble
       // interleave the legs so a slow ambient window hits at most one run
       // of each side, then take the best run per leg
       val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
@@ -174,16 +179,40 @@ object Bench {
         if (i < repsN) legs += erRun(nSmall, i, cfg)
         if (i < reps) legs += erRun(nSmall * 4, i, cfg)
       }
-      val bestN = legs.filter(_.threads == nSmall).minBy(_.wall)
-      val best4 = legs.filter(_.threads == nSmall * 4).minBy(_.wall)
+      // census veto (see header): the per-thread-count minimum Σ task CPU
+      // is the quietest window observed for that config; a leg inflated
+      // beyond vetoF× that reference ran under ambient load and is
+      // excluded from the official min-wall pick. The min-CPU leg can
+      // never veto itself, so each side always keeps ≥ 1 leg.
+      def minCpu(t: Int) = legs.filter(_.threads == t).map(_.cpuSec).min
+      def isVetoed(l: Leg) = l.cpuSec > vetoF * minCpu(l.threads)
+      val bestN = legs.filter(l => l.threads == nSmall && !isVetoed(l)).minBy(_.wall)
+      val best4 = legs.filter(l => l.threads == nSmall * 4 && !isVetoed(l)).minBy(_.wall)
       require(bestN.docs == best4.docs, s"non-deterministic corpus: ${bestN.docs} != ${best4.docs}")
       val tpN = bestN.docs / bestN.wall
       val tp4 = best4.docs / best4.wall
       val eff = tp4 / (4.0 * tpN)
-      s""","er_scaling":{"docs":${bestN.docs},"scale_n":$nSmall,"reps":$reps,""" +
+      // secondary load-robust estimator: efficiency per adjacent
+      // interleaved (N, 4N) pair — both legs of a pair share one ambient
+      // window, so intermittent load cancels in the ratio; the median
+      // ignores a wholly polluted pair
+      val pairEffs = (0 until math.min(reps, repsN)).flatMap { i =>
+        for {
+          a <- legs.find(l => l.threads == nSmall && l.rep == i)
+          b <- legs.find(l => l.threads == nSmall * 4 && l.rep == i)
+        } yield a.wall / (4.0 * b.wall)
+      }.sorted
+      val pairMedian =
+        if (pairEffs.isEmpty) 0.0
+        else if (pairEffs.size % 2 == 1) pairEffs(pairEffs.size / 2)
+        else (pairEffs(pairEffs.size / 2 - 1) + pairEffs(pairEffs.size / 2)) / 2.0
+      s""","er_scaling":{"docs":${bestN.docs},"scale_n":$nSmall,"reps":$reps,"reps_n":$repsN,""" +
+        s""""cpu_veto_factor":$vetoF,""" +
         s""""tN_sec":${bestN.wall},"t4N_sec":${best4.wall},""" +
         s""""docs_per_sec_N":$tpN,"docs_per_sec_4N":$tp4,"scaling_efficiency":$eff,""" +
-        s""""er_legs":[${legs.map(_.json).mkString(",")}]}"""
+        f""""pair_efficiencies":[${pairEffs.map(e => f"$e%.4f").mkString(",")}],""" +
+        f""""pair_efficiency_median":$pairMedian%.4f,""" +
+        s""""er_legs":[${legs.map(l => l.json(isVetoed(l))).mkString(",")}]}"""
     }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$ivfRecall$scaling}""")

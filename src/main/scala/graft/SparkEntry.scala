@@ -64,13 +64,14 @@ object SparkEntry {
   )
 
   /** q25's oracle replays the EXACT k-means-IVF computation: the same
-    * seeded init, the same `Corpus.IvfKmeansIters` Lloyd rounds unrolled
-    * as CTEs (floored-integer centroid means keep every cosine an exact
-    * integer-dot ratio), the same top-3 multi-probe. Generated so the
-    * round count can never drift between engine and oracle.
+    * seeded init over `Corpus.IvfK` cells, the same `Corpus.IvfKmeansIters`
+    * Lloyd rounds unrolled as CTEs (floored-integer centroid means keep
+    * every cosine an exact integer-dot ratio), the same
+    * `Corpus.IvfProbes`-deep multi-probe. Generated so neither the round
+    * count nor the recall dial can ever drift between engine and oracle.
     */
   private def q25OracleSql: String = {
-    val k = 8; val iters = Corpus.IvfKmeansIters
+    val k = Corpus.IvfK; val probes = Corpus.IvfProbes; val iters = Corpus.IvfKmeansIters
     def cos(qa: String, qb: String, n2a: String, n2b: String) =
       s"CAST(list_sum([$qa[i] * $qb[i] for i in generate_series(1, len($qa))]) AS DOUBLE)" +
         s" / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE)))"
@@ -101,7 +102,7 @@ object SparkEntry {
        |probes AS (SELECT query_id, cell FROM (
        |  SELECT q0.query_id, c.cent_id AS cell,
        |    ROW_NUMBER() OVER (PARTITION BY q0.query_id ORDER BY ${cos("q0.qq", "c.cq", "q0.qn2", "c.cn2")} DESC, c.cent_id ASC) AS pr
-       |  FROM qs q0 CROSS JOIN c$iters c) WHERE pr <= 3),
+       |  FROM qs q0 CROSS JOIN c$iters c) WHERE pr <= $probes),
        |cand AS (SELECT p.query_id, af.vec_id FROM probes p JOIN af ON af.cell = p.cell),
        |sc AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
        |    ${cos("nv.q", "q0.qq", "nv.n2", "q0.qn2")} AS cos

@@ -22,23 +22,39 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object Snapshots {
 
+  /** Snapshot FORMAT version, recorded in every manifest and checked on
+    * read: a resume/audit against a snapshot written by an incompatible
+    * layout fails with an explicit error instead of a downstream schema
+    * mismatch. History: v1 (unversioned, rounds 1–2) = lineage column
+    * `partition_id`, ScoredPair without media_usable/vetoed; v2 (round 3+)
+    * = lineage `read_partition_id`, 9-column ScoredPair.
+    */
+  val FormatVersion = 2
+
   final case class Committed(stage: String, snapshotId: Long, path: String, rows: Long)
+
+  final class IncompatibleSnapshotException(msg: String) extends RuntimeException(msg)
 
   private def stageDir(runDir: String, stage: String) = s"$runDir/$stage"
 
-  /** Latest committed snapshot id for a stage, if any. */
-  def lastCommitted(runDir: String, stage: String): Option[Long] = {
+  /** All COMMITTED snapshot ids of a stage, ascending — the time-ordered
+    * snapshot log (each commit is monotone, so id order = commit order).
+    */
+  def snapshots(runDir: String, stage: String): Seq[Long] = {
     val d = Paths.get(stageDir(runDir, stage))
-    if (!Files.isDirectory(d)) return None
-    val ids = Files.list(d).toArray.toSeq.map(_.toString)
+    if (!Files.isDirectory(d)) return Seq.empty
+    Files.list(d).toArray.toSeq.map(_.toString)
       .flatMap { p =>
         val name = Paths.get(p).getFileName.toString
         if (name.startsWith("snapshot=") && Files.exists(Paths.get(p, "_COMMITTED")))
           Some(name.stripPrefix("snapshot=").toLong)
         else None
-      }
-    if (ids.isEmpty) None else Some(ids.max)
+      }.sorted
   }
+
+  /** Latest committed snapshot id for a stage, if any. */
+  def lastCommitted(runDir: String, stage: String): Option[Long] =
+    snapshots(runDir, stage).lastOption
 
   /** Atomically commit `df` as the next snapshot of `stage`:
     * write data → write per-partition lineage rows → fsync manifest →
@@ -80,7 +96,7 @@ object Snapshots {
     // local-relation write: no cluster job re-scans the data for lineage
     lineage.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$snapPath/lineage")
     val manifest =
-      s"""{"run_id":"$runId","stage":"$stage","snapshot_id":$snapId,"rows":$rows,
+      s"""{"format_version":$FormatVersion,"run_id":"$runId","stage":"$stage","snapshot_id":$snapId,"rows":$rows,
          |"counters":{${counters.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""".stripMargin
     val tmp = Paths.get(s"$snapPath/_manifest.tmp")
     Files.writeString(tmp, manifest)
@@ -91,11 +107,40 @@ object Snapshots {
     Committed(stage, snapId, dataPath, rows)
   }
 
+  /** Manifest format version of a committed snapshot: absent field (or
+    * absent manifest — pre-manifest layouts) reads as v1.
+    */
+  private def formatVersionOf(runDir: String, stage: String, id: Long): Int = {
+    val m = Paths.get(s"${stageDir(runDir, stage)}/snapshot=$id/_manifest.json")
+    if (!Files.exists(m)) return 1
+    "\"format_version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(Files.readString(m))
+      .map(_.group(1).toInt).getOrElse(1)
+  }
+
+  private def checkVersion(runDir: String, stage: String, id: Long): Unit = {
+    val v = formatVersionOf(runDir, stage, id)
+    if (v != FormatVersion) throw new IncompatibleSnapshotException(
+      s"snapshot $stage/snapshot=$id in $runDir has format_version $v, this build reads " +
+        s"$FormatVersion — re-run the producing stage (resume from an older build's snapshots " +
+        "would fail on schema mismatch downstream; failing loud here instead)")
+  }
+
   /** Read the latest committed snapshot of a stage, if present. */
   def loadCommitted(spark: SparkSession, runDir: String, stage: String): Option[DataFrame] =
-    lastCommitted(runDir, stage).map { id =>
-      spark.read.parquet(s"${stageDir(runDir, stage)}/snapshot=$id/data")
-    }
+    lastCommitted(runDir, stage).map { id => loadSnapshot(spark, runDir, stage, id) }
+
+  /** TIME-TRAVEL read: a SPECIFIC committed snapshot of a stage by id —
+    * older snapshots stay readable (and byte-stable) after newer commits,
+    * since a commit only ever adds a new snapshot=<id+1> directory.
+    * Throws if the id was never committed or has an incompatible format.
+    */
+  def loadSnapshot(spark: SparkSession, runDir: String, stage: String, snapshotId: Long): DataFrame = {
+    require(snapshots(runDir, stage).contains(snapshotId),
+      s"no committed snapshot $stage/snapshot=$snapshotId under $runDir " +
+        s"(committed: ${snapshots(runDir, stage).mkString(",")})")
+    checkVersion(runDir, stage, snapshotId)
+    spark.read.parquet(s"${stageDir(runDir, stage)}/snapshot=$snapshotId/data")
+  }
 
   /** All lineage rows of a run directory (time-ordered snapshot log). */
   def lineage(spark: SparkSession, runDir: String): Option[DataFrame] = {

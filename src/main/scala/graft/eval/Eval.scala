@@ -21,10 +21,11 @@ object Eval {
       .join(ca, Seq("doc_id_a"), "left")
       .join(cb, Seq("doc_id_b"), "left")
       .withColumn("pred", col("ca").isNotNull && col("ca") === col("cb"))
+    // coalesce: sum() over zero labeled pairs is NULL, not 0
     val agg = joined.agg(
-      sum(when(col("pred") && col("is_match"), 1L).otherwise(0L)).as("tp"),
-      sum(when(col("pred") && !col("is_match"), 1L).otherwise(0L)).as("fp"),
-      sum(when(!col("pred") && col("is_match"), 1L).otherwise(0L)).as("fn")
+      coalesce(sum(when(col("pred") && col("is_match"), 1L).otherwise(0L)), lit(0L)).as("tp"),
+      coalesce(sum(when(col("pred") && !col("is_match"), 1L).otherwise(0L)), lit(0L)).as("fp"),
+      coalesce(sum(when(!col("pred") && col("is_match"), 1L).otherwise(0L)), lit(0L)).as("fn")
     ).collect()(0)
     val tp = agg.getLong(0); val fp = agg.getLong(1); val fn = agg.getLong(2)
     val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
@@ -109,13 +110,14 @@ object Eval {
         coalesce(col("media_usable"), lit(false)).as("mu"),
         coalesce(col("vetoed"), lit(false)).as("vt"))
     val grid = for (g <- gammas; t <- thresholds) yield (g, t)
+    // coalesce: sum() over zero labeled pairs is NULL and getLong would NPE
     val aggs = grid.flatMap { case (g, t) =>
       val pred = graft.operators.PairScoring.blendColumn(
         col("st"), col("sm"), col("sa"), col("mu"), col("vt"), cfg, g) >= t
       Seq(
-        sum(when(pred && col("is_match"), 1L).otherwise(0L)).as(f"tp_${g}_$t"),
-        sum(when(pred && !col("is_match"), 1L).otherwise(0L)).as(f"fp_${g}_$t"),
-        sum(when(!pred && col("is_match"), 1L).otherwise(0L)).as(f"fn_${g}_$t"))
+        coalesce(sum(when(pred && col("is_match"), 1L).otherwise(0L)), lit(0L)).as(f"tp_${g}_$t"),
+        coalesce(sum(when(pred && !col("is_match"), 1L).otherwise(0L)), lit(0L)).as(f"fp_${g}_$t"),
+        coalesce(sum(when(!pred && col("is_match"), 1L).otherwise(0L)), lit(0L)).as(f"fn_${g}_$t"))
     }
     val row = j.agg(aggs.head, aggs.tail: _*).collect()(0)
     grid.zipWithIndex.map { case ((g, t), i) =>

@@ -108,10 +108,21 @@ object Kernels {
     */
   def kdeCentersInt(times: Array[Long], h: Long = 1800L, z: Long = 2L): Array[Long] = {
     val n = times.length
-    // overflow guard (see scaladoc): L² with L ≤ n·2·max|t| must stay in
+    // overflow guard (see scaladoc): L² with L ≤ n·2·span must stay in
     // int64 — fail loud rather than silently wrap (a user with more than
     // ~8k events is outside the per-user-kernel contract anyway)
     require(n <= 8000, s"kdeCentersInt: $n events exceed the int64-exact bound (~8000)")
+    // the bound also needs day-scale time MAGNITUDES, not just small n:
+    // every dist ≤ 2·span (the NoHigher fallback is 2·maxFinite), so the
+    // z-cut's z²·varNum ≤ z²·(n·2·span)² stays in int64 iff
+    // z·n·2·span < 3e9 — a caller passing epoch-millisecond times must
+    // fail loud here, not branch on wrapped values
+    if (n >= 2) {
+      val span = math.max(times(n - 1) - times(0), 1L)
+      require(z * n.toLong * 2L * span < 3000000000L,
+        s"kdeCentersInt: z·n·2·span = ${z * n.toLong * 2L * span} exceeds the int64-exact " +
+          s"bound 3e9 (n=$n, span=$span) — rescale times to day-scale units")
+    }
     if (n == 0) return Array.empty
     if (n == 1) return Array(times(0))
     val h2 = h * h

@@ -99,6 +99,16 @@ object PairScoring {
     (dfMap, n)
   }
 
+  /** Feature relation plus the persisted media-token cache backing it
+    * (None when built without a cache): the CALLER owns the cache
+    * lifetime — release() it once every consumer of `feats` is durable,
+    * or one materialized cache leaks per pipeline run in a long-lived
+    * session (sweep loops, services).
+    */
+  final case class Features(feats: DataFrame, mediaTokenCache: Option[DataFrame]) {
+    def release(): Unit = mediaTokenCache.foreach(_.unpersist())
+  }
+
   /** Per-doc scoring features, HASH-ENCODED for the pair shuffle — ONE
     * tokenization pass over the persisted (toks, md) projection feeds both
     * the media-idf aggregation and the feature join (round 2 tokenized the
@@ -120,13 +130,19 @@ object PairScoring {
     * Token-hash collisions (~2^-64 per comparison) can only nudge a
     * channel score, never corrupt ids: doc ids stay strings end-to-end.
     */
-  def features(docs: DataFrame, nDocs: Long, cfg: ScoreConfig = ScoreConfig()): DataFrame =
-    featuresTokenized(Blocking.tokenized(docs), nDocs, cfg)
+  def features(docs: DataFrame, nDocs: Long, cfg: ScoreConfig = ScoreConfig(),
+               persistMedia: Boolean = true): Features =
+    featuresTokenized(Blocking.tokenized(docs), nDocs, cfg, persistMedia)
 
   /** features() over a pre-tokenized (possibly persisted) relation — the
     * pipeline path sharing one span-extraction pass with blocking.
+    * `persistMedia=false` skips the media-token cache (the relation is
+    * computed twice inside the one feature plan — ReuseExchange does not
+    * dedup diverged projections) for small/one-shot callers that would
+    * rather re-tokenize than own a cache lifetime.
     */
-  def featuresTokenized(toked: DataFrame, nDocs: Long, cfg: ScoreConfig = ScoreConfig()): DataFrame = {
+  def featuresTokenized(toked: DataFrame, nDocs: Long, cfg: ScoreConfig = ScoreConfig(),
+                        persistMedia: Boolean = true): Features = {
     graft.GraftExtensions.register(toked.sparkSession)
     val base = toked
     // ONE tokenization pass: the exploded media-token relation feeds BOTH
@@ -134,13 +150,16 @@ object PairScoring {
     // aggregation's map stage writes the cache blocks and the join stage
     // reads them within the same action (round 2 tokenized the source
     // twice per run). The cache is compact ((doc_id, long, bool) rows, no
-    // text payload) and dies with the session; at 10^12 docs this is the
-    // relation you'd materialize as a table anyway.
-    val mtok = base.select(col("doc_id"), explode(col("md")).as("tok"))
+    // text payload) and is RETURNED to the caller (Features.release), so
+    // a long-lived session does not accumulate one cache per run; at
+    // 10^12 docs this is the relation you'd materialize as a table anyway.
+    val mtok0 = base.select(col("doc_id"), explode(col("md")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("mid"),
         (if (cfg.exclusivePrefix.isEmpty) lit(false)
          else col("tok").startsWith(cfg.exclusivePrefix)).as("is_x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mtok =
+      if (persistMedia) mtok0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else mtok0
     // mediaTokens is distinct per doc => count(*) per id == document freq
     val w = mtok.groupBy("mid").agg(count(lit(1)).as("df"))
       .select(col("mid"), log1p(lit(nDocs.toDouble) / col("df")).as("w"))
@@ -151,7 +170,7 @@ object PairScoring {
         transform(col("mw"), x => x.getField("mid")).as("m_ids"),
         transform(col("mw"), x => x.getField("w")).as("m_ws"),
         transform(filter(col("mw"), x => x.getField("is_x")), x => x.getField("mid")).as("x_ids"))
-    base.select(col("doc_id"),
+    val feats = base.select(col("doc_id"),
         concat_ws(" ", slice(col("toks"), 1, cfg.maxTokens)).as("txt"),
         transform(slice(col("toks"), 1, cfg.maxTokens), t => xxhash64(t)).as("tok_ids"))
       .join(media, Seq("doc_id"), "left")
@@ -159,6 +178,7 @@ object PairScoring {
         coalesce(col("m_ids"), array().cast("array<long>")).as("m_ids"),
         coalesce(col("m_ws"), array().cast("array<double>")).as("m_ws"),
         coalesce(col("x_ids"), array().cast("array<long>")).as("x_ids"))
+    Features(feats, if (persistMedia) Some(mtok) else None)
   }
 
   /** Weighted Jaccard from aligned (token, weight) arrays; both sides carry
@@ -447,10 +467,11 @@ object PairScoring {
     }
   }
 
-  /** Convenience: features + scoreFeatures in one call (no persist — the
-    * pipeline manages the feature-table cache lifetime itself). `nDocs`
-    * feeds the idf formula; pass the cached docs count so no extra job
-    * runs here.
+  /** Convenience: features + scoreFeatures in one call, CACHE-FREE
+    * (persistMedia=false — nothing to release, the media-token relation
+    * is recomputed inside the one plan; the pipeline path instead uses
+    * featuresTokenized and owns the cache). `nDocs` feeds the idf
+    * formula; pass the cached docs count so no extra job runs here.
     */
   def score(
       spark: SparkSession,
@@ -458,7 +479,7 @@ object PairScoring {
       candidates: DataFrame,
       nDocs: Long,
       cfg: ScoreConfig = ScoreConfig()): Dataset[ScoredPair] =
-    scoreFeatures(spark, features(docs, nDocs, cfg), candidates, cfg)
+    scoreFeatures(spark, features(docs, nDocs, cfg, persistMedia = false).feats, candidates, cfg)
 
   /** Broadcast-dictionary scoring variant (small vocabularies / per-block
     * dictionaries): same kernel, weights looked up in a broadcast map.

@@ -37,12 +37,20 @@ object EntityResolution {
       blocking: DataFrame,
       ccIterations: Int,
       counters: Map[String, Long],
-      private[pipeline] val toked: Option[DataFrame] = None) {
+      private[pipeline] val toked: Option[DataFrame] = None,
+      private[pipeline] val featMediaCache: Option[DataFrame] = None) {
     /** Release the cached blocking output (persisted + materialized by
-      * Blocking.block) and the shared tokenized-relation cache; later uses
-      * of `blocking`/`scoredPairs` recompute from source.
+      * Blocking.block), the shared tokenized-relation cache, AND the
+      * scoring stage's media-token cache (PairScoring.Features) — every
+      * cache a run materializes, so repeated runs in one session (sweep
+      * loops, services) cannot accumulate leaked storage; later uses of
+      * `blocking`/`scoredPairs` recompute from source.
       */
-    def release(): Unit = { blocking.unpersist(); toked.foreach(_.unpersist()) }
+    def release(): Unit = {
+      blocking.unpersist()
+      toked.foreach(_.unpersist())
+      featMediaCache.foreach(_.unpersist())
+    }
   }
 
   /** Run the full pipeline. When `runDir` is given, each stage is committed
@@ -94,18 +102,24 @@ object EntityResolution {
     // size); tokenization runs once per materialization via the shared
     // media-token exchange inside PairScoring.features (ReuseExchange)
     var scoreCounters = Map.empty[String, Long]
+    var featCacheRef: Option[DataFrame] = None
     val (scored, c2) = staged("scored_pairs", scoreCounters) {
       val candidates = Blocking.candidatePairs(blocking)
       // corpus size from the persisted tokenized cache — the source table
       // itself is scanned exactly ONCE per run (into `toked`)
       val nDocs = toked.count()
-      val feats = PairScoring.featuresTokenized(toked, nDocs, cfg.scoring)
-      val s = PairScoring.scoreFeatures(spark, feats, candidates, cfg.scoring).toDF()
+      val f = PairScoring.featuresTokenized(toked, nDocs, cfg.scoring)
+      featCacheRef = f.mediaTokenCache
+      val s = PairScoring.scoreFeatures(spark, f.feats, candidates, cfg.scoring).toDF()
       scoreCounters = Map("docs_scored_against" -> nDocs)
       s
     }
-    // in runDir mode both consumers of the tokenized cache are durable now
-    if (runDir.isDefined) { tokedRef.foreach(_.unpersist()); tokedRef = None }
+    // in runDir mode every consumer of the tokenized + media-token caches
+    // is durable now — drop them here rather than at release()
+    if (runDir.isDefined) {
+      tokedRef.foreach(_.unpersist()); tokedRef = None
+      featCacheRef.foreach(_.unpersist()); featCacheRef = None
+    }
 
     // stage 3: clustering
     var ccIters = 0
@@ -124,7 +138,7 @@ object EntityResolution {
       assign
     }
 
-    Result(assignments, scored, blocking, ccIters, c1 ++ c2 ++ c3, tokedRef)
+    Result(assignments, scored, blocking, ccIters, c1 ++ c2 ++ c3, tokedRef, featCacheRef)
   }
 
   /** Derive labeled pairs at shared blocking keys (FIXTURES.md §2):

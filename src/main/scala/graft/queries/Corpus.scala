@@ -191,25 +191,51 @@ object Corpus {
     */
   val IvfKmeansIters = 3
 
-  /** IVF (inverted-file) ANN with LEARNED centroids + multi-probe:
-    * k = 8 centroids, deterministically seeded from the first 8 vectors,
-    * refined by `IvfKmeansIters` Lloyd rounds run as a DataFrame loop —
-    * assignment is an argmax over broadcast centroid literals (array_max
-    * over (cos, -cent_id) structs: ties to the smaller id; no window), the
-    * update is ONE per-dimension hash aggregation whose k×dim result is
-    * collected (centroids are a driver-side dimension, like any broadcast
-    * dim). Centroid components are FLOORED integer means so every cosine
-    * stays exact-integer-dot → the oracle replays the same rounds
-    * bit-for-bit. Queries (vec_id < 20) probe their top-3 nearest cells
-    * (multi-probe recall insurance at the cost of ~3 of the 8 cells scanned); each
-    * candidate set is ranked by the bounded TopKAggregator.
-    * Scale shape: one shuffle per Lloyd round (the k×dim aggregation) and
-    * one equi-join on cell at query time — never an all-pairs product.
+  /** IVF cell count (k-means k) and DEFAULT query-time multi-probe depth.
+    * The recall dial (reference analogue: the AP sampling-ratio sweep,
+    * AMPI_1.scala:192): more probes = more of the corpus scanned per query
+    * = higher recall; probes = k degenerates to brute force. Measured
+    * recall@3 vs brute force: the round-3 config (k=8, probes=3) read
+    * 0.733; finer cells buy recall cheaper than deeper probes — at k=16,
+    * probes=5 (~31% of cells scanned) reads 0.9167 on sf0.1 and 0.9333 on
+    * sf0.01, the smallest depth clearing 0.9 WITH margin at both scales.
+    * The bench emits the full recall-vs-probes curve each run so the dial
+    * stays measured, not asserted.
     */
-  def q25_embed_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
+  val IvfK = 16
+  val IvfProbes = 5
+
+  /** A trained IVF index: the quantized+persisted vector relation and the
+    * k learned integer centroids. Caller releases the cache.
+    */
+  final case class IvfIndex(vectors: DataFrame, cents: Array[(Long, Array[Long])]) {
+    def release(): Unit = vectors.unpersist()
+  }
+
+  private def ivfCentStructs(cs: Array[(Long, Array[Long])]): org.apache.spark.sql.Column =
+    array(cs.map { case (cid, cq) =>
+      val cn2 = cq.map(x => x * x).sum
+      struct(
+        qcos(qdot(col("q"), typedLit(cq.toSeq)), col("n2"), lit(cn2)).as("s"),
+        lit(-cid).as("nid"))
+    }: _*)
+  // argmax cosine, ties -> smaller cent_id (larger -cid)
+  private def ivfCellCol(cs: Array[(Long, Array[Long])]): org.apache.spark.sql.Column =
+    -array_max(ivfCentStructs(cs)).getField("nid")
+
+  /** Train the IVF index: k centroids deterministically seeded from the
+    * first k vectors, refined by `IvfKmeansIters` Lloyd rounds run as a
+    * DataFrame loop — assignment is an argmax over broadcast centroid
+    * literals (array_max over (cos, -cent_id) structs: ties to the smaller
+    * id; no window), the update is ONE per-dimension hash aggregation
+    * whose k×dim result is collected (centroids are a driver-side
+    * dimension, like any broadcast dim). Centroid components are FLOORED
+    * integer means so every cosine stays exact-integer-dot → the oracle
+    * replays the same rounds bit-for-bit.
+    * Scale shape: one shuffle per Lloyd round — never an all-pairs product.
+    */
+  def ivfBuild(spark: SparkSession, dir: String, k: Int = IvfK): IvfIndex = {
     graft.GraftExtensions.register(spark)
-    import org.apache.spark.sql.Column
-    val k = 8; val probes = 3
     val e = emb(spark, dir).repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), quantizeVec(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
@@ -218,19 +244,8 @@ object Corpus {
     var cents: Array[(Long, Array[Long])] = e.where(col("vec_id") < k)
       .select(col("vec_id"), col("q")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-
-    def centStructs(cs: Array[(Long, Array[Long])]): Column = array(cs.map { case (cid, cq) =>
-      val cn2 = cq.map(x => x * x).sum
-      struct(
-        qcos(qdot(col("q"), typedLit(cq.toSeq)), col("n2"), lit(cn2)).as("s"),
-        lit(-cid).as("nid"))
-    }: _*)
-    // argmax cosine, ties -> smaller cent_id (larger -cid)
-    def cellCol(cs: Array[(Long, Array[Long])]): Column =
-      -array_max(centStructs(cs)).getField("nid")
-
     (1 to IvfKmeansIters).foreach { _ =>
-      val upd = e.select(cellCol(cents).as("cell"), posexplode(col("q")))
+      val upd = e.select(ivfCellCol(cents).as("cell"), posexplode(col("q")))
         .groupBy("cell", "pos")
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
         .select(col("cell"), col("pos"),
@@ -242,18 +257,26 @@ object Corpus {
       // empty-cell guard: a cell that attracted no vectors keeps its centroid
       cents = cents.map { case (cid, cq) => (cid, byCell.getOrElse(cid, cq)) }
     }
+    IvfIndex(e, cents)
+  }
 
-    val assigned = e.select(col("vec_id"), col("q"), col("n2"), cellCol(cents).as("cell"))
-    // multi-probe: top-`probes` cells per query = reverse-sorted (s, nid)
-    // structs, sliced — a per-row array op over k elements, no shuffle
+  /** Query the trained index: each query (vec_id < 20) probes its
+    * `probes` nearest cells (multi-probe = the recall dial; a per-row
+    * array op over k elements, no shuffle), candidates rank by exact
+    * quantized cosine through the bounded TopKAggregator. One equi-join
+    * on cell at query time.
+    */
+  def ivfTopK(idx: IvfIndex, probes: Int, atK: Int = 3): DataFrame = {
+    val e = idx.vectors
+    val assigned = e.select(col("vec_id"), col("q"), col("n2"), ivfCellCol(idx.cents).as("cell"))
     val queries = e.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"),
-        slice(reverse(array_sort(centStructs(cents))), 1, probes).as("top"))
+        slice(reverse(array_sort(ivfCentStructs(idx.cents))), 1, probes).as("top"))
       .select(col("query_id"), col("qq"), col("qn2"),
         explode(col("top")).as("probe"))
       .select(col("query_id"), col("qq"), col("qn2"), (-col("probe.nid")).as("cell"))
-    val topk = graft.functions.TopKAggregator.topK(3)
-    val out = assigned.join(broadcast(queries), "cell")
+    val topk = graft.functions.TopKAggregator.topK(atK)
+    assigned.join(broadcast(queries), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         qcos(qdot(col("q"), col("qq")), col("n2"), col("qn2")).as("cos"))
@@ -261,8 +284,39 @@ object Corpus {
       .agg(topk(col("vec_id"), col("cos")).as("nbrs"))
       .select(col("query_id"), posexplode(col("nbrs")))
       .select(col("query_id"), col("col").as("neighbor_id"), (col("pos") + 1).cast("bigint").as("rank"))
-    e.unpersist()
+  }
+
+  /** IVF (inverted-file) ANN: ivfBuild + ivfTopK at the default
+    * `IvfProbes` dial (recall ≥ 0.9 at 3, measured per bench run).
+    */
+  def q25_embed_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfBuild(spark, dir)
+    val out = ivfTopK(idx, IvfProbes)
+    // training used the cache (eager collects); the one query-time rescan
+    // recomputes the cheap quantize projection from parquet
+    idx.release()
     out
+  }
+
+  /** Recall-vs-probes curve: recall@`atK` of the IVF index against the
+    * brute-force truth (q23) at each probe depth, ONE trained index
+    * reused across depths — the artifact-visible recall dial.
+    */
+  def ivfRecallCurve(spark: SparkSession, dir: String, probesList: Seq[Int],
+                     atK: Int = 3): Seq[(Int, Double)] = {
+    val truth = q23_embed_cosine_topk(spark, dir)
+      .where(col("rank") <= atK)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = ivfBuild(spark, dir)
+    val curve = probesList.map { p =>
+      val got = ivfTopK(idx, p, atK)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      p -> (if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size)
+    }
+    idx.release()
+    curve
   }
 
   /** Language-ID by stopword-profile scoring: per-language marker lists;

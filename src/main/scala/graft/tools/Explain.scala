@@ -31,11 +31,12 @@ object Explain {
     locally {
       val docs = graft.synth.DocGen.docs(spark,
         graft.synth.GenConfig(numEntities = 100, docsPerEntity = 3)).toDF()
-      val feats = graft.operators.PairScoring.features(docs, 300L)
-      val plan = feats.queryExecution.executedPlan.toString
+      val f = graft.operators.PairScoring.features(docs, 300L)
+      val plan = f.feats.queryExecution.executedPlan.toString
       val scans = "InMemoryTableScan".r.findAllIn(plan).length
       println(if (scans >= 2) s"  OK: $scans InMemoryTableScans of the shared media-token relation"
               else s"  MISSING shared cache (found $scans InMemoryTableScans)!\n" + plan.take(3000))
+      f.release()
     }
     spark.stop()
   }
