@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.qdotDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.overlapLongDescriptor)
+    ext.injectFunction(GraftExtensions.scorePairDescriptor)
   }
 }
 
@@ -94,6 +95,50 @@ object GraftExtensions {
       graft.functions.OverlapLongExpression(children.head, children(1))
     })
 
+  /** score_pair(10 data cols, 11 config literals) — the whole-pair scoring
+    * kernel as one native expression (see ScorePairExpression). The config
+    * scalars ride as trailing literals so ONE registered name serves every
+    * ScoreConfig; the builder folds them back into a ScoreConfig here.
+    * exclusivePrefix reaches the kernel only as a nonEmpty on/off switch
+    * (the x_ids arrays are pre-extracted in PairScoring.features), so a
+    * boolean literal carries it.
+    */
+  val scorePairDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("score_pair"),
+    new ExpressionInfo(classOf[graft.functions.ScorePairExpression].getName, "score_pair"),
+    (children: Seq[Expression]) => {
+      require(children.length == 21,
+        "score_pair expects 10 data columns + 11 config literals")
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      def dbl(e: Expression, what: String): Double = e match {
+        case Literal(v: Double, _) => v
+        case Literal(v: Int, _) => v.toDouble
+        case other => throw new IllegalArgumentException(s"score_pair $what must be a numeric literal, got $other")
+      }
+      def int(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"score_pair $what must be an int literal, got $other")
+      }
+      def bool(e: Expression, what: String): Boolean = e match {
+        case Literal(v: Boolean, _) => v
+        case other => throw new IllegalArgumentException(s"score_pair $what must be a boolean literal, got $other")
+      }
+      val c = children
+      val cfg = graft.operators.PairScoring.ScoreConfig(
+        prescreenOverlap = dbl(c(10), "prescreenOverlap"),
+        gammaText = dbl(c(11), "gammaText"),
+        conflictTextFloor = dbl(c(12), "conflictTextFloor"),
+        minMediaEvidence = int(c(13), "minMediaEvidence"),
+        alignWeight = dbl(c(14), "alignWeight"),
+        alignDecay = dbl(c(15), "alignDecay"),
+        alignBlend = dbl(c(16), "alignBlend"),
+        alignCostCo = dbl(c(17), "alignCostCo"),
+        alignCostAOnly = dbl(c(18), "alignCostAOnly"),
+        alignCostBOnly = dbl(c(19), "alignCostBOnly"),
+        exclusivePrefix = if (bool(c(20), "exclusiveEnabled")) "x:" else "")
+      graft.functions.ScorePairExpression(c.take(10), cfg)
+    })
+
   /** Idempotently register the functions into an EXISTING session (for
     * sessions built without `spark.sql.extensions`); afterwards they are
     * usable from SQL and via `call_function("jaro_winkler", a, b)`.
@@ -101,7 +146,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(jaroWinklerDescriptor, minhashSigDescriptor, tokenOverlapDescriptor,
         spanTextTokensDescriptor, spanMediaTokensDescriptor, qdotDescriptor,
-        simhashDescriptor, overlapLongDescriptor).foreach {
+        simhashDescriptor, overlapLongDescriptor, scorePairDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

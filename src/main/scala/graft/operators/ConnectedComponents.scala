@@ -21,34 +21,43 @@ object ConnectedComponents {
 
   /** One large-star step: connect every neighbor larger than u to the min
     * of u's closed neighborhood. Input/output: canonical edges (src, dst).
+    *
+    * SORT-BASED one-pass min (round-4): a window min over the
+    * neighborhood replaces the round-3 collect_set + explode — the stage
+    * census showed the per-key hash-set build + array explode as CC's
+    * ~1.8–2.5× task-CPU inflation at 4 threads (allocation churn is
+    * memory bandwidth). The window's Tungsten sort touches no per-key
+    * heap objects and SPILLS on hub nodes where a collected set would
+    * OOM; row count in = row count out (loop-state edges are distinct, so
+    * no duplicate blow-up), and the downstream smallStar distinct dedups
+    * exactly as before.
     */
   private[operators] def largeStar(edges: DataFrame): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    // no trailing distinct: the consumer (smallStar's collect_set) dedups,
-    // saving one shuffle per iteration
-    bidir.groupBy(col("src").as("u"))
-      .agg(least(min(col("dst")), first(col("src"))).as("m"),
-           collect_set(col("dst")).as("nbrs"))
-      .select(col("u"), col("m"), explode(col("nbrs")).as("v"))
-      .where(col("v") > col("u"))
-      .select(col("v").as("src"), col("m").as("dst"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    bidir
+      .select(col("src"), col("dst"), least(min(col("dst")).over(w), col("src")).as("m"))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))
   }
 
   /** One small-star step: among edges oriented high→low, connect all of
-    * u's smaller neighbors (and u) to the minimum.
+    * u's smaller neighbors (and u) to the minimum. Sort-based like
+    * largeStar; the u→m edge of the closed neighborhood is emitted once
+    * per input row (u > v ≥ m, so u ≠ m always) and the trailing distinct
+    * — which the algorithm needs anyway — dedups.
     */
   private[operators] def smallStar(edges: DataFrame): DataFrame = {
     val oriented = edges.select(
       greatest(col("src"), col("dst")).as("u"),
       least(col("src"), col("dst")).as("v"))
-    oriented.groupBy(col("u"))
-      .agg(min(col("v")).as("m"), collect_set(col("v")).as("nbrs"))
-      .select(col("u"), col("m"),
-        explode(array_union(col("nbrs"), array(col("u")))).as("v"))
-      .where(col("v") =!= col("m"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val withM = oriented.select(col("u"), col("v"), min(col("v")).over(w).as("m"))
+    withM.where(col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
+      .union(withM.select(col("u").as("src"), col("m").as("dst")))
       .distinct()
   }
 
@@ -100,20 +109,34 @@ object ConnectedComponents {
     // canonical (lo,hi) form is used only for the convergence signature
     var edges = canonical(edges0).localCheckpoint(false)
     var prevSig = signature(edges)
+    // Size the loop's fixed-shape shuffles to the EDGE COUNT (known from
+    // the first signature), not the session's 4×-cores default: the loop
+    // runs ~6 tiny stages per iteration, and at the default decomposition
+    // the per-task fixed cost (codegen init, scheduling) — not data —
+    // dominated CC's 4-thread task-CPU census. ~250k edge rows per
+    // partition, clamped to [cores, 4·cores] so a huge edge set still
+    // over-decomposes for skew and a small one still uses every core.
+    val cores = spark.sparkContext.defaultParallelism
+    val loopParts = math.max(cores,
+      math.min(4L * cores, prevSig._1 / 250000L + 1L).toInt)
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      val ss = smallStar(largeStar(edges)).localCheckpoint(false)
-      val nextSig = signature(ss)
-      // exact confirmation on signature match: counts are equal (part of
-      // the signature), so a one-direction empty exceptAll proves set
-      // equality — both inputs recompute from checkpointed parents
-      converged = nextSig == prevSig &&
-        canonical(ss).exceptAll(canonical(edges)).isEmpty
-      edges = ss
-      iter += 1
-      prevSig = nextSig
-    }
+    try {
+      while (!converged && iter < maxIter) {
+        val ss = smallStar(largeStar(edges)).localCheckpoint(false)
+        val nextSig = signature(ss)
+        // exact confirmation on signature match: counts are equal (part of
+        // the signature), so a one-direction empty exceptAll proves set
+        // equality — both inputs recompute from checkpointed parents
+        converged = nextSig == prevSig &&
+          canonical(ss).exceptAll(canonical(edges)).isEmpty
+        edges = ss
+        iter += 1
+        prevSig = nextSig
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
     // at fixpoint every edge is (node, componentMin) with node > min;
     // component mins themselves map to themselves
     val assign = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))

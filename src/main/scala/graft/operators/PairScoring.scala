@@ -422,18 +422,11 @@ object PairScoring {
     scorePairArrays(textA, mediaA, sa, textB, mediaB, sb, cfg)
   }
 
-  /** Score all candidate pairs against a PRECOMPUTED feature table (see
-    * `features`; callers persist it — the pipeline does — so the idf
-    * aggregation and tokenization run once per pipeline, not once per
-    * downstream materialization).
+  /** The joined + columnar-prescreened candidate-with-features relation
+    * shared by the native and typed scoring paths.
     */
-  def scoreFeatures(
-      spark: SparkSession,
-      feats: DataFrame,
-      candidates: DataFrame,
-      cfg: ScoreConfig = ScoreConfig()): Dataset[ScoredPair] = {
-    import spark.implicits._
-    graft.GraftExtensions.register(spark)
+  private def screenedCandidates(
+      feats: DataFrame, candidates: DataFrame, cfg: ScoreConfig): DataFrame = {
     def side(s: String) = feats.select(col("doc_id").as(s"doc_id_$s"), col("txt").as(s"txt_$s"),
       col("tok_ids").as(s"tok_$s"), col("m_ids").as(s"mi_$s"),
       col("m_ws").as(s"mw_$s"), col("x_ids").as(s"x_$s"))
@@ -443,20 +436,65 @@ object PairScoring {
       .select("doc_id_a", "doc_id_b", "block_key",
         "txt_a", "tok_a", "mi_a", "mw_a", "x_a",
         "txt_b", "tok_b", "mi_b", "mw_b", "x_b")
-    // columnar prescreen BEFORE the typed decode: junk pairs are rejected
-    // while still inside Tungsten rows (native overlap_milli_long over
-    // primitive long arrays) instead of paying the UnsafeRow→Scala decode —
-    // the measured allocation hot spot on junk-dominated candidate sets.
-    // Threshold floor()'d so the columnar filter is a strict SUPERSET of
-    // the kernel's exact check (which remains the authority).
-    val screened =
-      if (cfg.prescreenOverlap <= 0.0) joinedDf
-      else {
-        val thr = math.floor(cfg.prescreenOverlap * 1000).toInt
-        joinedDf.where(graft.functions.OverlapLongExpression.overlapMilliLong(
-          col("tok_a"), col("tok_b")) >= thr)
-      }
-    val joined = screened.as[(String, String, Long,
+    // columnar prescreen FIRST: junk pairs are rejected while still inside
+    // Tungsten rows (native overlap_milli_long over primitive long arrays)
+    // before the full kernel runs — the measured hot spot on
+    // junk-dominated candidate sets. Threshold floor()'d so the columnar
+    // filter is a strict SUPERSET of the kernel's exact check (which
+    // remains the authority).
+    if (cfg.prescreenOverlap <= 0.0) joinedDf
+    else {
+      val thr = math.floor(cfg.prescreenOverlap * 1000).toInt
+      joinedDf.where(graft.functions.OverlapLongExpression.overlapMilliLong(
+        col("tok_a"), col("tok_b")) >= thr)
+    }
+  }
+
+  /** Score all candidate pairs against a PRECOMPUTED feature table (see
+    * `features`; callers persist it — the pipeline does — so the idf
+    * aggregation and tokenization run once per pipeline, not once per
+    * downstream materialization).
+    *
+    * NATIVE path: the whole kernel is ONE codegen'd expression
+    * (ScorePairExpression) in a plain projection — ids and block_key never
+    * leave Tungsten, no typed decode/encode boundary (the round-3
+    * mapPartitions path allocated a 13-field tuple + ScoredPair per pair;
+    * stage census: ~1.4× task-CPU inflation at 4 threads). The six struct
+    * extractions share one kernel evaluation via ProjectExec
+    * subexpression elimination. scoreFeaturesTyped below is the
+    * executable spec; PairScoringSpec asserts the two paths agree.
+    */
+  def scoreFeatures(
+      spark: SparkSession,
+      feats: DataFrame,
+      candidates: DataFrame,
+      cfg: ScoreConfig = ScoreConfig()): Dataset[ScoredPair] = {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val sp = graft.functions.ScorePairExpression.scorePairNative(cfg, Seq(
+      col("txt_a"), col("tok_a"), col("mi_a"), col("mw_a"), col("x_a"),
+      col("txt_b"), col("tok_b"), col("mi_b"), col("mw_b"), col("x_b")))
+    screenedCandidates(feats, candidates, cfg)
+      .withColumn("sp", sp)
+      .select(col("doc_id_a"), col("doc_id_b"), col("block_key"),
+        col("sp.sim_text").as("sim_text"), col("sp.sim_media").as("sim_media"),
+        col("sp.sim_align").as("sim_align"), col("sp.score").as("score"),
+        col("sp.media_usable").as("media_usable"), col("sp.vetoed").as("vetoed"))
+      .as[ScoredPair]
+  }
+
+  /** The typed mapPartitions scoring path — kept as the executable spec of
+    * scoreFeatures' native expression (PairScoringSpec asserts equality
+    * pair-for-pair); not the hot path.
+    */
+  def scoreFeaturesTyped(
+      spark: SparkSession,
+      feats: DataFrame,
+      candidates: DataFrame,
+      cfg: ScoreConfig = ScoreConfig()): Dataset[ScoredPair] = {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val joined = screenedCandidates(feats, candidates, cfg).as[(String, String, Long,
       String, Array[Long], Array[Long], Array[Double], Array[Long],
       String, Array[Long], Array[Long], Array[Double], Array[Long])]
     joined.mapPartitions { it =>

@@ -21,17 +21,29 @@ object TimeStages {
     spark.sparkContext.setLogLevel("WARN")
     val taskMs = new java.util.concurrent.atomic.AtomicLong
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val spillB = new java.util.concurrent.atomic.AtomicLong
+    val shufWriteNs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
-        if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+        if (t.taskInfo != null) { taskMs.addAndGet(t.taskInfo.duration); tasks.incrementAndGet() }
+        if (t.taskMetrics != null) {
+          cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+          gcMs.addAndGet(t.taskMetrics.jvmGCTime)
+          spillB.addAndGet(t.taskMetrics.memoryBytesSpilled)
+          shufWriteNs.addAndGet(t.taskMetrics.shuffleWriteMetrics.writeTime)
+        }
       }
     })
     def tm[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val m0 = taskMs.get; val c0 = cpuNs.get
+      val g0 = gcMs.get; val s0 = spillB.get; val w0 = shufWriteNs.get; val k0 = tasks.get
       val r = f
       println(f"STAGE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"task=${(taskMs.get - m0) / 1e3}%.1f s cpu=${(cpuNs.get - c0) / 1e9}%.1f s")
+        f"task=${(taskMs.get - m0) / 1e3}%.1f s cpu=${(cpuNs.get - c0) / 1e9}%.1f s " +
+        f"gc=${(gcMs.get - g0) / 1e3}%.1f s spill=${(spillB.get - s0) / 1e6}%.0f MB " +
+        f"shufWrite=${(shufWriteNs.get - w0) / 1e9}%.1f s tasks=${tasks.get - k0}")
       r
     }
     val toks = CorpusExpr.tokens(col("text"))

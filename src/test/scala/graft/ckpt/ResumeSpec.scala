@@ -56,4 +56,53 @@ class ResumeSpec extends SparkSpec {
     assert(stages == Set("blocking", "scored_pairs", "cluster_assignments"))
     assert(lin.where("rows_out < 0").isEmpty)
   }
+
+  test("time-travel: older snapshot stays readable and byte-stable after a newer commit") {
+    import org.apache.spark.sql.functions.lit
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = Files.createTempDirectory("graft-tt").toString
+    val v0 = Seq(("a", 1L), ("b", 2L)).toDF("doc_id", "n")
+    val c0 = Snapshots.commit(spark, v0, tmp, "stage_x", "r1", Map("rows" -> 2L))
+    assert(c0.snapshotId == 0L)
+    val snap0 = Snapshots.loadSnapshot(spark, tmp, "stage_x", 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val bytes0 = Files.walk(Path.of(tmp, "stage_x", "snapshot=0")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).map(Files.size).toVector
+
+    // a newer commit with DIFFERENT content must not disturb snapshot 0
+    val v1 = v0.withColumn("n", lit(99L)).union(Seq(("c", 3L)).toDF("doc_id", "n"))
+    val c1 = Snapshots.commit(spark, v1, tmp, "stage_x", "r1", Map("rows" -> 3L))
+    assert(c1.snapshotId == 1L)
+    assert(Snapshots.snapshots(tmp, "stage_x") == Seq(0L, 1L))
+    // latest = snapshot 1
+    assert(Snapshots.loadCommitted(spark, tmp, "stage_x").get.count() == 3L)
+    // time-travel = snapshot 0, identical rows, identical bytes
+    val again = Snapshots.loadSnapshot(spark, tmp, "stage_x", 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(again.toSeq == snap0.toSeq)
+    val bytes0After = Files.walk(Path.of(tmp, "stage_x", "snapshot=0")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).map(Files.size).toVector
+    assert(bytes0After == bytes0)
+    // unknown id fails loud
+    intercept[IllegalArgumentException](Snapshots.loadSnapshot(spark, tmp, "stage_x", 7L))
+  }
+
+  test("incompatible snapshot format version fails loud with an explicit error") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = Files.createTempDirectory("graft-ver").toString
+    Snapshots.commit(spark, Seq(("a", 1L)).toDF("doc_id", "n"), tmp, "stage_v", "r1", Map.empty)
+    // rewrite the manifest as an older format version
+    val m = Path.of(tmp, "stage_v", "snapshot=0", "_manifest.json")
+    Files.writeString(m, Files.readString(m).replace(
+      s""""format_version":${Snapshots.FormatVersion}""", """"format_version":1"""))
+    val e = intercept[Snapshots.IncompatibleSnapshotException](
+      Snapshots.loadSnapshot(spark, tmp, "stage_v", 0L))
+    assert(e.getMessage.contains("format_version 1"))
+    // a manifest with NO version field (pre-versioning layout) reads as v1
+    Files.writeString(m, Files.readString(m).replace(""""format_version":1,""", ""))
+    intercept[Snapshots.IncompatibleSnapshotException](
+      Snapshots.loadSnapshot(spark, tmp, "stage_v", 0L))
+  }
 }

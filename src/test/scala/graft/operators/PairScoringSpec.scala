@@ -191,4 +191,30 @@ class PairScoringSpec extends SparkSpec {
     assert(math.abs(w - 3.0 / 5.0) < 1e-12)
     assert(PairScoring.weightedJaccardArrays(Seq.empty, Seq.empty, Seq.empty, Seq.empty) == 0.0)
   }
+
+  test("native score_pair expression == typed mapPartitions spec, every pair, both configs") {
+    // the native Catalyst path (scoreFeatures) must reproduce the typed
+    // executable spec (scoreFeaturesTyped) bit-for-bit on a real blocked
+    // candidate set — same equivalence gate as the simhash/overlap natives
+    val gen = graft.synth.GenConfig(numEntities = 60, docsPerEntity = 3, seed = 7L)
+    val docs = graft.synth.DocGen.docs(spark, gen).toDF()
+    val toked = Blocking.tokenized(docs)
+    val (blocking, _) = Blocking.blockTokenized(toked, 12, 4, 64, 0)
+    val cands = Blocking.candidatePairs(blocking)
+    val nDocs = docs.count()
+    Seq(cfg, cfg.copy(prescreenOverlap = 0.0, gammaText = 0.7, minMediaEvidence = 1)).foreach { c =>
+      val f = PairScoring.featuresTokenized(toked, nDocs, c, persistMedia = false)
+      val native = PairScoring.scoreFeatures(spark, f.feats, cands, c).toDF()
+      val typed = PairScoring.scoreFeaturesTyped(spark, f.feats, cands, c).toDF()
+      // names+types must match; nullability legitimately differs (the
+      // typed encoder proves primitives non-null, the expression path
+      // conservatively tracks child nullability)
+      assert(native.schema.map(f => (f.name, f.dataType)) ==
+        typed.schema.map(f => (f.name, f.dataType)))
+      assert(native.exceptAll(typed).isEmpty && typed.exceptAll(native).isEmpty,
+        s"native/typed scoring disagree under $c")
+      assert(native.count() > 0, "equivalence test scored zero pairs — not a real gate")
+    }
+    blocking.unpersist()
+  }
 }
