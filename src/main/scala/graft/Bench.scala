@@ -79,6 +79,41 @@ object Bench {
         s""""vetoed":$vetoed}"""
   }
 
+  /** The census-vetted official estimate + the pair-median secondary, as a
+    * PURE function of the measured legs (unit-tested in BenchEstimatorSpec;
+    * main() only formats its output).
+    */
+  final case class ScalingEstimate(bestN: Leg, best4: Leg, efficiency: Double,
+                                   pairEffs: Seq[Double], pairMedian: Double,
+                                   vetoed: Set[(Int, Int)]) // (threads, rep)
+
+  def officialEstimate(legs: Seq[Leg], nSmall: Int, vetoF: Double): ScalingEstimate = {
+    require(legs.exists(_.threads == nSmall) && legs.exists(_.threads == nSmall * 4),
+      "need at least one leg per side")
+    // per-thread-count minimum Σ task CPU = the quietest window observed
+    // for that config; a leg inflated beyond vetoF× it measured ambient
+    // load, not the engine. The min-CPU leg can never veto itself, so
+    // each side always keeps ≥ 1 leg.
+    def minCpu(t: Int) = legs.filter(_.threads == t).map(_.cpuSec).min
+    def isVetoed(l: Leg) = l.cpuSec > vetoF * minCpu(l.threads)
+    val bestN = legs.filter(l => l.threads == nSmall && !isVetoed(l)).minBy(_.wall)
+    val best4 = legs.filter(l => l.threads == nSmall * 4 && !isVetoed(l)).minBy(_.wall)
+    val eff = (best4.docs / best4.wall) / (4.0 * (bestN.docs / bestN.wall))
+    // secondary: efficiency per adjacent interleaved (N, 4N) pair — both
+    // legs of a pair share one ambient window, so intermittent load
+    // cancels in the ratio; the median ignores a wholly polluted pair
+    val pairEffs = legs.filter(_.threads == nSmall).sortBy(_.rep).flatMap { a =>
+      legs.find(l => l.threads == nSmall * 4 && l.rep == a.rep)
+        .map(b => a.wall / (4.0 * b.wall))
+    }.sorted
+    val med =
+      if (pairEffs.isEmpty) 0.0
+      else if (pairEffs.size % 2 == 1) pairEffs(pairEffs.size / 2)
+      else (pairEffs(pairEffs.size / 2 - 1) + pairEffs(pairEffs.size / 2)) / 2.0
+    ScalingEstimate(bestN, best4, eff, pairEffs, med,
+      legs.filter(isVetoed).map(l => (l.threads, l.rep)).toSet)
+  }
+
   /** End-to-end ER wall time (scan + block + score + cluster + count) over
     * the pre-written tmpfs corpus: every leg reads the SAME parquet input
     * (the north rule measures the same job on the same input at two
@@ -199,40 +234,18 @@ object Bench {
         if (i < reps) legs += erRun(nSmall * 4, i, corpusDir)
       }
       new scala.reflect.io.Directory(new java.io.File(corpusDir)).deleteRecursively()
-      // census veto (see header): the per-thread-count minimum Σ task CPU
-      // is the quietest window observed for that config; a leg inflated
-      // beyond vetoF× that reference ran under ambient load and is
-      // excluded from the official min-wall pick. The min-CPU leg can
-      // never veto itself, so each side always keeps ≥ 1 leg.
-      def minCpu(t: Int) = legs.filter(_.threads == t).map(_.cpuSec).min
-      def isVetoed(l: Leg) = l.cpuSec > vetoF * minCpu(l.threads)
-      val bestN = legs.filter(l => l.threads == nSmall && !isVetoed(l)).minBy(_.wall)
-      val best4 = legs.filter(l => l.threads == nSmall * 4 && !isVetoed(l)).minBy(_.wall)
-      require(bestN.docs == best4.docs, s"non-deterministic corpus: ${bestN.docs} != ${best4.docs}")
-      val tpN = bestN.docs / bestN.wall
-      val tp4 = best4.docs / best4.wall
-      val eff = tp4 / (4.0 * tpN)
-      // secondary load-robust estimator: efficiency per adjacent
-      // interleaved (N, 4N) pair — both legs of a pair share one ambient
-      // window, so intermittent load cancels in the ratio; the median
-      // ignores a wholly polluted pair
-      val pairEffs = (0 until math.min(reps, repsN)).flatMap { i =>
-        for {
-          a <- legs.find(l => l.threads == nSmall && l.rep == i)
-          b <- legs.find(l => l.threads == nSmall * 4 && l.rep == i)
-        } yield a.wall / (4.0 * b.wall)
-      }.sorted
-      val pairMedian =
-        if (pairEffs.isEmpty) 0.0
-        else if (pairEffs.size % 2 == 1) pairEffs(pairEffs.size / 2)
-        else (pairEffs(pairEffs.size / 2 - 1) + pairEffs(pairEffs.size / 2)) / 2.0
-      s""","er_scaling":{"docs":${bestN.docs},"scale_n":$nSmall,"reps":$reps,"reps_n":$repsN,""" +
+      val est = officialEstimate(legs.toSeq, nSmall, vetoF)
+      require(est.bestN.docs == est.best4.docs,
+        s"non-deterministic corpus: ${est.bestN.docs} != ${est.best4.docs}")
+      val tpN = est.bestN.docs / est.bestN.wall
+      val tp4 = est.best4.docs / est.best4.wall
+      s""","er_scaling":{"docs":${est.bestN.docs},"scale_n":$nSmall,"reps":$reps,"reps_n":$repsN,""" +
         s""""cpu_veto_factor":$vetoF,""" +
-        s""""tN_sec":${bestN.wall},"t4N_sec":${best4.wall},""" +
-        s""""docs_per_sec_N":$tpN,"docs_per_sec_4N":$tp4,"scaling_efficiency":$eff,""" +
-        f""""pair_efficiencies":[${pairEffs.map(e => f"$e%.4f").mkString(",")}],""" +
-        f""""pair_efficiency_median":$pairMedian%.4f,""" +
-        s""""er_legs":[${legs.map(l => l.json(isVetoed(l))).mkString(",")}]}"""
+        s""""tN_sec":${est.bestN.wall},"t4N_sec":${est.best4.wall},""" +
+        s""""docs_per_sec_N":$tpN,"docs_per_sec_4N":$tp4,"scaling_efficiency":${est.efficiency},""" +
+        f""""pair_efficiencies":[${est.pairEffs.map(e => f"$e%.4f").mkString(",")}],""" +
+        f""""pair_efficiency_median":${est.pairMedian}%.4f,""" +
+        s""""er_legs":[${legs.map(l => l.json(est.vetoed((l.threads, l.rep)))).mkString(",")}]}"""
     }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$ivfRecall$scaling}""")

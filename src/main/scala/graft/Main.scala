@@ -64,24 +64,28 @@ object Main {
       // pass for F1 across the whole grid, plus rank@3 per γ (ranking is
       // threshold-free). The labeled universe is the blocking-derived one.
       val sweepJson = if (flags.contains("--sweep")) {
+        import org.apache.spark.sql.functions.col
         val sc = EntityResolution.PipelineConfig().scoring
         val labeledP = labeled.persist()
         val scoredP = res.scoredPairs.persist()
         val gammas = (0 to 10).map(_ / 10.0) :+ sc.gammaText
         val thresholds = Seq(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8)
         val pts = Eval.sweepBlend(scoredP, labeledP, sc, gammas, thresholds)
+        // ONE persisted symmetric channel view serves the whole γ grid:
+        // each grid point re-blends by projection + its bounded top-k agg,
+        // instead of re-shuffling the full pair union per γ
+        val symChans = Eval.symmetricPairs(scoredP,
+          Seq("sim_text", "sim_media", "sim_align", "media_usable", "vetoed")).persist()
         val rank3 = gammas.map { g =>
-          val reblended = scoredP.withColumn("score",
+          val reblended = symChans.withColumn("score",
             graft.operators.PairScoring.blendColumn(
-              org.apache.spark.sql.functions.col("sim_text"),
-              org.apache.spark.sql.functions.col("sim_media"),
-              org.apache.spark.sql.functions.col("sim_align"),
-              org.apache.spark.sql.functions.col("media_usable"),
-              org.apache.spark.sql.functions.col("vetoed"), sc, g))
-          val (_, _, r) = Eval.rankAtK(reblended, gold, 3)
+              col("sim_text"), col("sim_media"), col("sim_align"),
+              col("media_usable"), col("vetoed"), sc, g))
+            .select(col("doc_id"), col("other"), col("score"))
+          val (_, _, r) = Eval.rankAtKSym(reblended, gold, 3)
           f"""{"gamma_text":$g%.2f,"rank_at_3":$r%.6f}"""
         }
-        labeledP.unpersist(); scoredP.unpersist()
+        symChans.unpersist(); labeledP.unpersist(); scoredP.unpersist()
         s""","sweep":[${pts.map(_.json).mkString(",")}],"sweep_rank":[${rank3.mkString(",")}]"""
       } else ""
       s""","f1":${m.f1},"precision":${m.precision},"recall":${m.recall},""" +

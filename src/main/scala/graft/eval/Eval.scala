@@ -43,11 +43,27 @@ object Eval {
     * counterpart scores a hit iff any gold counterpart lands in its top-k.
     * Returns (hits, evaluated docs, hit-rate).
     */
-  def rankAtK(scoredPairs: DataFrame, gold: DataFrame, k: Int): (Long, Long, Double) = {
-    val spark = scoredPairs.sparkSession
-    // symmetric view: every pair contributes a candidate list entry to BOTH ends
-    val sym = scoredPairs.select(col("doc_id_a").as("doc_id"), col("doc_id_b").as("other"), col("score"))
-      .unionByName(scoredPairs.select(col("doc_id_b").as("doc_id"), col("doc_id_a").as("other"), col("score")))
+  def rankAtK(scoredPairs: DataFrame, gold: DataFrame, k: Int): (Long, Long, Double) =
+    rankAtKSym(symmetricPairs(scoredPairs), gold, k)
+
+  /** The symmetric candidate view of a scored-pair set: every pair
+    * contributes a candidate-list entry to BOTH ends. Carries `extra`
+    * pass-through columns (e.g. the channel scores, so a sweep can persist
+    * ONE symmetric view and re-blend per γ instead of re-shuffling the
+    * full pair set per grid point).
+    */
+  def symmetricPairs(scoredPairs: DataFrame, extra: Seq[String] = Seq("score")): DataFrame = {
+    val cols = (s: String, o: String) =>
+      Seq(col(s).as("doc_id"), col(o).as("other")) ++ extra.map(col)
+    scoredPairs.select(cols("doc_id_a", "doc_id_b"): _*)
+      .unionByName(scoredPairs.select(cols("doc_id_b", "doc_id_a"): _*))
+  }
+
+  /** rankAtK over a pre-built (possibly persisted) symmetric view
+    * (doc_id, other, score) — see symmetricPairs.
+    */
+  def rankAtKSym(sym: DataFrame, gold: DataFrame, k: Int): (Long, Long, Double) = {
+    val spark = sym.sparkSession
     val topk = graft.functions.TopKAggregator.topK(k)
     val lists = sym
       .select(col("doc_id"), xxhash64(col("other")).as("oid"), col("score"))

@@ -123,8 +123,17 @@ object Trajectory {
       .agg(countDistinct(col("doc_id")).as("df"))
       .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
       .where(col("w") > 0) // df-pruning: hot tokens weigh 0 — drop pre-join
-      .select("token", "w")
+      .select("token", "w", "df")
+    // posting-list census as an OBSERVED metric (CollectMetrics — no extra
+    // job/shuffle): the pair join below explodes as Σ df² over surviving
+    // tokens, so an adversarial corpus (a non-hot-but-huge posting list)
+    // surfaces in the "q35_posting_census" observation of every action —
+    // max surviving df + exploded row count — instead of only as wall time
     val tw = tok.join(w, "token")
+      .observe("q35_posting_census",
+        max(col("df")).as("max_surviving_df"),
+        count(lit(1)).as("exploded_rows"))
+      .select(col("doc_id"), col("source"), col("token"), col("w"))
     val sums = tw.groupBy(col("doc_id")).agg(sum(col("w")).as("wsum"))
     val a = tw.select(col("source"), col("token"), col("doc_id").as("doc_a"), col("w"))
     val b = tw.select(col("source"), col("token"), col("doc_id").as("doc_b"))
