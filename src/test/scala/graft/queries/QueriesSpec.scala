@@ -30,4 +30,14 @@ class QueriesSpec extends SparkSpec {
       assert(df.count() == n)
     }
   }
+
+  test("IVF recall dial: shipped default clears recall@3 >= 0.9 vs brute force (sf0.01)") {
+    // the managed-recall gate (BASELINE-adjacent quality target): the
+    // default (IvfK, IvfProbes) config must keep >= 0.9 of the exact
+    // top-3 — measured here against the same corpus the driver benches,
+    // so a future knob change that silently costs recall fails the suite
+    val curve = Corpus.ivfRecallCurve(spark, "/root/testdata/sf0.01", Seq(Corpus.IvfProbes))
+    val recall = curve.head._2
+    assert(recall >= 0.9, f"recall@3 = $recall%.4f at probes=${Corpus.IvfProbes} (need >= 0.9)")
+  }
 }
