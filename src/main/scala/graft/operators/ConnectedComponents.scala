@@ -32,7 +32,7 @@ object ConnectedComponents {
     * no duplicate blow-up), and the downstream smallStar distinct dedups
     * exactly as before.
     */
-  private[operators] def largeStar(edges: DataFrame): DataFrame = {
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
@@ -49,7 +49,7 @@ object ConnectedComponents {
     * per input row (u > v ≥ m, so u ≠ m always) and the trailing distinct
     * — which the algorithm needs anyway — dedups.
     */
-  private[operators] def smallStar(edges: DataFrame): DataFrame = {
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
     val oriented = edges.select(
       greatest(col("src"), col("dst")).as("u"),
       least(col("src"), col("dst")).as("v"))
@@ -91,7 +91,41 @@ object ConnectedComponents {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** CC output with the loop's surviving localCheckpoint handle: the final
+    * edge set's checkpoint RDD backs `assignments`, so it can only be
+    * freed once the caller is DONE with them (a localCheckpointed RDD has
+    * truncated lineage — unpersisting it makes the data unrecoverable,
+    * not recomputable). Intermediate iterations' checkpoints are freed
+    * inside the loop as they are superseded.
+    */
+  final case class CcResult(assignments: DataFrame, iterations: Int,
+                            checkpointIds: Set[Int]) {
+    def releaseCheckpoints(spark: SparkSession): Unit =
+      checkpointIds.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  }
+
+  /** localCheckpoint + capture of the persistent-RDD ids it registered
+    * (RDD.localCheckpoint persists immediately, even with eager=false), so
+    * the loop can free superseded checkpoints instead of leaking one per
+    * iteration per run.
+    */
+  private def localCkpt(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ck = df.localCheckpoint(false)
+    (ck, sc.getPersistentRDDs.keySet.diff(before).toSet)
+  }
+
+  private def free(spark: SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id => spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
   def run(spark: SparkSession, edges0: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val r = runTracked(spark, edges0, maxIter)
+    (r.assignments, r.iterations)
+  }
+
+  def runTracked(spark: SparkSession, edges0: DataFrame, maxIter: Int = 50): CcResult = {
     // AQE off for the loop only: each iteration is a small fixed-shape
     // two-shuffle plan, and AQE's per-query-stage re-planning adds driver
     // round-trips per iteration that dominate at high parallelism (the
@@ -104,10 +138,10 @@ object ConnectedComponents {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
-  private def runLoop(spark: SparkSession, edges0: DataFrame, maxIter: Int): (DataFrame, Int) = {
+  private def runLoop(spark: SparkSession, edges0: DataFrame, maxIter: Int): CcResult = {
     // loop state keeps smallStar's (node → smaller) orientation; the
     // canonical (lo,hi) form is used only for the convergence signature
-    var edges = canonical(edges0).localCheckpoint(false)
+    var (edges, edgeIds) = localCkpt(canonical(edges0))
     var prevSig = signature(edges)
     // Size the loop's fixed-shape shuffles to the EDGE COUNT (known from
     // the first signature), not the session's 4×-cores default: the loop
@@ -125,14 +159,18 @@ object ConnectedComponents {
     var converged = false
     try {
       while (!converged && iter < maxIter) {
-        val ss = smallStar(largeStar(edges)).localCheckpoint(false)
+        val (ss, ssIds) = localCkpt(smallStar(largeStar(edges)))
         val nextSig = signature(ss)
         // exact confirmation on signature match: counts are equal (part of
         // the signature), so a one-direction empty exceptAll proves set
         // equality — both inputs recompute from checkpointed parents
         converged = nextSig == prevSig &&
           canonical(ss).exceptAll(canonical(edges)).isEmpty
+        // the superseded checkpoint is dead: the convergence check above
+        // was its last consumer this iteration
+        free(spark, edgeIds)
         edges = ss
+        edgeIds = ssIds
         iter += 1
         prevSig = nextSig
       }
@@ -142,7 +180,7 @@ object ConnectedComponents {
     val assign = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
       .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
       .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-    (assign, iter)
+    CcResult(assign, iter, edgeIds)
   }
 
   /** Full assignment for all docs: nodes with no surviving edge form
@@ -150,10 +188,20 @@ object ConnectedComponents {
     */
   def assignAll(spark: SparkSession, allDocIds: DataFrame, edges: DataFrame,
                 maxIter: Int = 50): (DataFrame, Int) = {
-    val (assign, iters) = run(spark, edges, maxIter)
+    val r = assignAllTracked(spark, allDocIds, edges, maxIter)
+    (r.assignments, r.iterations)
+  }
+
+  /** assignAll with the final-checkpoint handle (see CcResult): callers
+    * that materialize the assignments durably (or are done with them)
+    * release the last checkpoint via releaseCheckpoints.
+    */
+  def assignAllTracked(spark: SparkSession, allDocIds: DataFrame, edges: DataFrame,
+                       maxIter: Int = 50): CcResult = {
+    val r = runTracked(spark, edges, maxIter)
     val out = allDocIds.select(col("doc_id"))
-      .join(assign, Seq("doc_id"), "left")
+      .join(r.assignments, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    (out, iters)
+    CcResult(out, r.iterations, r.checkpointIds)
   }
 }

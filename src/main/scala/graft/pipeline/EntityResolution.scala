@@ -38,18 +38,34 @@ object EntityResolution {
       ccIterations: Int,
       counters: Map[String, Long],
       private[pipeline] val toked: Option[DataFrame] = None,
-      private[pipeline] val featMediaCache: Option[DataFrame] = None) {
-    /** Release the cached blocking output (persisted + materialized by
-      * Blocking.block), the shared tokenized-relation cache, AND the
-      * scoring stage's media-token cache (PairScoring.Features) — every
-      * cache a run materializes, so repeated runs in one session (sweep
-      * loops, services) cannot accumulate leaked storage; later uses of
-      * `blocking`/`scoredPairs` recompute from source.
+      private[pipeline] val featMediaCache: Option[DataFrame] = None,
+      private[pipeline] val ccCheckpointIds: Set[Int] = Set.empty) {
+    /** Release EVERY cache a run materializes — the cached blocking
+      * output, the shared tokenized relation, the scoring stage's
+      * media-token cache, and the CC loop's final localCheckpoint — so
+      * repeated runs in one session (sweep loops, services) cannot
+      * accumulate leaked storage (PipelineSpec asserts zero surviving
+      * persistent RDDs). After release(), `blocking`/`scoredPairs`
+      * recompute from source; in a NON-checkpointed run (`runDir` unset)
+      * `assignments` must not be reused — its backing localCheckpoint has
+      * truncated lineage and is gone (checkpointed runs re-read parquet).
       */
-    def release(): Unit = {
+    def release(): Unit = release(keepAssignments = false)
+
+    /** keepAssignments=true frees every cache EXCEPT the CC loop's final
+      * checkpoint, so the returned `assignments` stay readable — for
+      * callers that hand the lazy relation onward (q36-as-query). The
+      * kept checkpoint is one row per doc and lives until the session
+      * ends or the caller frees it.
+      */
+    def release(keepAssignments: Boolean): Unit = {
       blocking.unpersist()
       toked.foreach(_.unpersist())
       featMediaCache.foreach(_.unpersist())
+      if (!keepAssignments)
+        ccCheckpointIds.foreach(id =>
+          blocking.sparkSession.sparkContext.getPersistentRDDs.get(id)
+            .foreach(_.unpersist(false)))
     }
   }
 
@@ -124,6 +140,7 @@ object EntityResolution {
     // stage 3: clustering
     var ccIters = 0
     var ccCounters = Map.empty[String, Long]
+    var ccCkptIds = Set.empty[Int]
     val (assignments, c3) = staged("cluster_assignments", ccCounters) {
       val edges = scored
         .where(col("score") >= cfg.scoreThreshold)
@@ -131,14 +148,21 @@ object EntityResolution {
       // node universe from the tokenized cache when it exists (no extra
       // source scan); resumed runs fall back to the raw docs projection
       val allIds = tokedRef.map(_.select(col("doc_id"))).getOrElse(docs.select(col("doc_id")))
-      val (assign, iters) = ConnectedComponents.assignAll(
-        spark, allIds, edges, cfg.maxCcIter)
-      ccIters = iters
-      ccCounters = Map("cc_iterations" -> iters.toLong)
-      assign
+      val cc = ConnectedComponents.assignAllTracked(spark, allIds, edges, cfg.maxCcIter)
+      ccIters = cc.iterations
+      ccCkptIds = cc.checkpointIds
+      ccCounters = Map("cc_iterations" -> cc.iterations.toLong)
+      cc.assignments
+    }
+    // in runDir mode the assignments are durable parquet now — the CC
+    // loop's final checkpoint has no remaining consumer
+    if (runDir.isDefined) {
+      ccCkptIds.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      ccCkptIds = Set.empty
     }
 
-    Result(assignments, scored, blocking, ccIters, c1 ++ c2 ++ c3, tokedRef, featCacheRef)
+    Result(assignments, scored, blocking, ccIters, c1 ++ c2 ++ c3, tokedRef, featCacheRef, ccCkptIds)
   }
 
   /** Derive labeled pairs at shared blocking keys (FIXTURES.md §2):

@@ -456,8 +456,10 @@ object Trajectory {
       scoring = PairScoring.ScoreConfig(gammaText = 1.0))
     val res = EntityResolution.run(spark, docsDf, cfg)
     // the CC loop has materialized everything downstream of docsDf; release
-    // both caches so a long-lived session doesn't accumulate them
-    res.release()
+    // the run's caches so a long-lived session doesn't accumulate them —
+    // EXCEPT the final CC checkpoint, which backs the lazy relation this
+    // query returns (one row per doc; freed when the session ends)
+    res.release(keepAssignments = true)
     docsDf.unpersist()
     res.assignments
   }

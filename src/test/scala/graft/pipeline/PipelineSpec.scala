@@ -118,4 +118,20 @@ class PipelineSpec extends SparkSpec {
       expr("transform(spans, s -> named_struct('kind', s.kind, 'text', concat(s.text, 'X'), 'media_ref', s.media_ref, 'offset', s.offset))"))
     assert(Eval.spanInvariantViolations(docs, mutated) > 0)
   }
+
+  test("Result.release() frees every cache a run materializes (no leak across runs)") {
+    // the long-lived-session contract: repeated pipeline runs must not
+    // accumulate persisted RDDs (blocking output, shared tokenized
+    // relation, scoring's media-token cache all released)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = graft.pipeline.EntityResolution.run(spark,
+      DocGen.docs(spark, GenConfig(numEntities = 30, docsPerEntity = 3, seed = 11L)).toDF())
+    assert(res.assignments.count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size > before.size,
+      "run should have materialized caches before release")
+    res.release()
+    val after = spark.sparkContext.getPersistentRDDs -- before
+    assert(after.isEmpty, s"leaked persisted RDDs after release(): " +
+      after.map { case (id, r) => s"$id=${r.name}:${r.getStorageLevel.description}" }.mkString("; "))
+  }
 }
