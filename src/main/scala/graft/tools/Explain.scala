@@ -38,6 +38,34 @@ object Explain {
               else s"  MISSING shared cache (found $scans InMemoryTableScans)!\n" + plan.take(3000))
       f.release()
     }
+    println("==== scoring (expect ONE ScorePairExpression.score call in the generated")
+    println("     code: the 6 struct-field extractions must share a single kernel")
+    println("     evaluation via ProjectExec subexpression elimination)")
+    locally {
+      import org.apache.spark.sql.execution.WholeStageCodegenExec
+      // AQE off for the INSPECTION only: AdaptiveSparkPlanExec does not
+      // expose its inner plan to collect() before execution
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = graft.synth.DocGen.docs(spark,
+        graft.synth.GenConfig(numEntities = 60, docsPerEntity = 3)).toDF()
+      val toked = graft.operators.Blocking.tokenized(docs)
+      val (blocking, _) = graft.operators.Blocking.blockTokenized(toked, 12, 4, 64, 0)
+      val cands = graft.operators.Blocking.candidatePairs(blocking)
+      val f = graft.operators.PairScoring.featuresTokenized(toked, 180L,
+        persistMedia = false)
+      val scored = graft.operators.PairScoring.scoreFeatures(spark, f.feats, cands)
+      val calls = scored.queryExecution.executedPlan.collect {
+        case w: WholeStageCodegenExec =>
+          "ScorePairExpression\\.score\\(".r.findAllIn(w.doCodeGen()._2.body).length
+      }
+      val spans = calls.count(_ > 0)
+      println(
+        if (calls.sum == 1 && spans == 1)
+          "  OK: exactly ONE ScorePairExpression.score call, inside one WholeStageCodegen span"
+        else s"  UNEXPECTED: score-call counts per codegen span = $calls " +
+          "(duplicated kernel evaluation or codegen fallback!)")
+      blocking.unpersist()
+    }
     spark.stop()
   }
 }
