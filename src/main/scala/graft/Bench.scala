@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   * Ambient host load varies by tens of percent over minutes on this box,
   * so the legs are INTERLEAVED (N, 4N, N, 4N, …) over
   * SPARK_GRAFT_SCALE_REPS_N (default 3) / SPARK_GRAFT_SCALE_REPS
-  * (default 6) runs, and the OFFICIAL efficiency is CENSUS-AWARE: each
+  * (default 5) runs, and the OFFICIAL efficiency is CENSUS-AWARE: each
   * leg's job census (wall, Σ task time, Σ task CPU, parallel core use) is
   * recorded, and a leg whose Σ task CPU exceeds its thread-count's
   * minimum by more than SPARK_GRAFT_SCALE_CPU_VETO (default 1.25×) is
@@ -223,7 +223,11 @@ object Bench {
         finally s.stop()
       }
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "6").toInt
+      // 3 N + 5 4N legs ≈ 21 min of legs — with queries + curve the whole
+      // bench stays safely inside a 30-min budget (the round-2 driver run
+      // took 1,293 s; the veto/median estimator, not raw rep count, is
+      // the load defense)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
       val repsN = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS_N", "3").toInt
       val vetoF = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPU_VETO", "1.25").toDouble
       // interleave the legs so a slow ambient window hits at most one run
