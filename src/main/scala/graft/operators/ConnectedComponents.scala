@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Transitive clustering: iterative DataFrame connected components via
   * alternating large-star / small-star (Kiveris et al., "Connected
@@ -10,14 +10,41 @@ import org.apache.spark.storage.StorageLevel
   * generalization of the reference's top-1-per-AP assignment
   * (Model.scala:536-539; top-1 is the degenerate star case).
   *
-  * Works over STRING node ids with lexicographic order (cluster_id =
-  * min doc_id, FIXTURES.md §3) — no fragile 64-bit-hash node mapping, so
-  * no collision risk at 10^12 nodes.
+  * The public contract is STRING node ids with lexicographic order
+  * (cluster_id = min doc_id, FIXTURES.md §3). Internally the loop runs
+  * over 64-bit LONG node ids: the star loop shuffles the edge set ~6
+  * times per iteration, and ~30-byte string pairs were CC's measured
+  * 2.0–2.9× task-CPU inflation at 4 threads (round-4 CcProbe census —
+  * hash/compare/ser-de on small rows, not spill or GC). Two encodings,
+  * chosen by a one-aggregate census over the node dictionary:
+  *
+  *  - HASHED (default): nid = xxhash64(node) — a pure projection, zero
+  *    extra shuffles to encode. Hash order is not string order, so after
+  *    the loop ONE per-component min over the decoded strings restores
+  *    the exact cluster_id = min doc_id semantic. A 64-bit collision
+  *    would merge two components, so the dictionary census (count nodes
+  *    vs count distinct nids, one aggregate) gates the path: any
+  *    collision — an ~n²/2^65 event, expected only beyond ~10^9 nodes —
+  *    falls back to:
+  *  - RANKED: nid = exact global rank of the node in string order
+  *    (distributed sort + zipWithIndex). Order-isomorphic, collision-free
+  *    at any node count; costs one node-universe sort.
+  *
+  * Either way the min-id result is bit-exact vs the string loop — the
+  * encoding choice is a physical-plan decision, never a semantic one.
+  * The node dictionary is broadcast through the decode joins when
+  * dimension-sized, shuffle-joined beyond [[BroadcastDictMaxNodes]].
   *
   * Each iteration persists + materializes the new edge set and truncates
   * lineage via localCheckpoint, so the plan does not grow unboundedly.
   */
 object ConnectedComponents {
+
+  /** Node-dictionary size up to which the encode/decode joins broadcast
+    * the dictionary (~50 B/node → ≤ ~200 MB broadcast). Above it they
+    * fall back to shuffle joins.
+    */
+  val BroadcastDictMaxNodes: Long = 4000000L
 
   /** One large-star step: connect every neighbor larger than u to the min
     * of u's closed neighborhood. Input/output: canonical edges (src, dst).
@@ -61,14 +88,15 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Run to convergence; returns (node -> component-min) assignments for
-    * every node appearing in `edges`, plus the iteration count.
+  /** Orientation-normalized self-loop-free edges: (lo, hi). A pure
+    * projection — no dedup.
     */
-  private def canonical(e: DataFrame): DataFrame =
+  private def orient(e: DataFrame): DataFrame =
     e.select(least(col("src"), col("dst")).as("src"),
              greatest(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
+
+  private def canonical(e: DataFrame): DataFrame = orient(e).distinct()
 
   /** Order-insensitive edge-set signature: (count, xor of row hashes) —
     * xor never overflows and the edge set is distinct, so duplicates can't
@@ -91,12 +119,13 @@ object ConnectedComponents {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** CC output with the loop's surviving localCheckpoint handle: the final
-    * edge set's checkpoint RDD backs `assignments`, so it can only be
-    * freed once the caller is DONE with them (a localCheckpointed RDD has
-    * truncated lineage — unpersisting it makes the data unrecoverable,
-    * not recomputable). Intermediate iterations' checkpoints are freed
-    * inside the loop as they are superseded.
+  /** CC output with the loop's surviving localCheckpoint handles: the
+    * final edge set's checkpoint RDD AND the node-id dictionary's both
+    * back `assignments`, so they can only be freed once the caller is
+    * DONE with them (a localCheckpointed RDD has truncated lineage —
+    * unpersisting it makes the data unrecoverable, not recomputable).
+    * Intermediate iterations' checkpoints are freed inside the loop as
+    * they are superseded.
     */
   final case class CcResult(assignments: DataFrame, iterations: Int,
                             checkpointIds: Set[Int]) {
@@ -105,27 +134,49 @@ object ConnectedComponents {
         spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
   }
 
-  /** localCheckpoint + capture of the persistent-RDD ids it registered
+  /** localCheckpoint + the id of the persistent RDD it registered
     * (RDD.localCheckpoint persists immediately, even with eager=false), so
     * the loop can free superseded checkpoints instead of leaking one per
-    * iteration per run.
+    * iteration per run. The id is read off the returned Dataset's own
+    * LogicalRDD plan node — NOT by diffing the session's persistent-RDD
+    * registry, which under concurrent queries on the same SparkContext
+    * would capture another thread's cache registered in the same window
+    * and later destroy it in free() (for a localCheckpointed RDD that is
+    * unrecoverable data loss, not a recompute).
     */
   private def localCkpt(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val ck = df.localCheckpoint(false)
-    (ck, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    val ids = ck.queryExecution.logical.collect { case r: LogicalRDD => r.rdd.id }.toSet
+    assert(ids.nonEmpty, "localCheckpoint did not yield a LogicalRDD-backed plan")
+    (ck, ids)
   }
 
   private def free(spark: SparkSession, ids: Set[Int]): Unit =
     ids.foreach(id => spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
+  /** Convenience entry WITHOUT checkpoint tracking: the final-edge-set and
+    * dictionary localCheckpoints backing the returned assignments stay
+    * persisted for the SESSION LIFETIME (there is no handle to free them
+    * through this signature). Fine for one-shot jobs and probes; a
+    * long-lived session running CC repeatedly must use [[runTracked]] and
+    * call [[CcResult.releaseCheckpoints]] when done.
+    */
   def run(spark: SparkSession, edges0: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val r = runTracked(spark, edges0, maxIter)
     (r.assignments, r.iterations)
   }
 
-  def runTracked(spark: SparkSession, edges0: DataFrame, maxIter: Int = 50): CcResult = {
+  /** Run to convergence; returns (node -> component-min) assignments for
+    * every node appearing in `edges0`, the iteration count, and the live
+    * checkpoint handles.
+    *
+    * `pairsPreDeduped = true` promises each unordered {src, dst} pair
+    * occurs at most once in `edges0` (true for the pipeline's scored
+    * candidate pairs, which are pair-deduplicated by construction) and
+    * skips the initial edge-dedup shuffle entirely.
+    */
+  def runTracked(spark: SparkSession, edges0: DataFrame, maxIter: Int = 50,
+                 pairsPreDeduped: Boolean = false): CcResult = {
     // AQE off for the loop only: each iteration is a small fixed-shape
     // two-shuffle plan, and AQE's per-query-stage re-planning adds driver
     // round-trips per iteration that dominate at high parallelism (the
@@ -134,15 +185,103 @@ object ConnectedComponents {
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      runLoop(spark, edges0, maxIter)
+      runDispatch(spark, edges0, maxIter, pairsPreDeduped)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
-  private def runLoop(spark: SparkSession, edges0: DataFrame, maxIter: Int): CcResult = {
-    // loop state keeps smallStar's (node → smaller) orientation; the
-    // canonical (lo,hi) form is used only for the convergence signature
-    var (edges, edgeIds) = localCkpt(canonical(edges0))
-    var prevSig = signature(edges)
+  private def runDispatch(spark: SparkSession, edges0: DataFrame, maxIter: Int,
+                          pairsPreDeduped: Boolean): CcResult = {
+    // ONE materialization pass over the upstream plan (typically the full
+    // scoring stage): string endpoints + their hashed ids, self-loops
+    // dropped. Everything downstream reads this checkpoint.
+    val (raw, rawIds) = localCkpt(
+      edges0.where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          xxhash64(col("src")).as("hs"), xxhash64(col("dst")).as("hd")))
+    // node dictionary (node -> hashed id); its collision census (count
+    // nodes vs count distinct hashes) is ONE aggregate and doubles as the
+    // dictionary materialization
+    val (dict, dictIds) = localCkpt(
+      raw.select(col("src").as("node"), col("hs").as("nid"))
+        .union(raw.select(col("dst").as("node"), col("hd").as("nid")))
+        .distinct())
+    val census = dict.agg(count(lit(1)).as("n"), count_distinct(col("nid")).as("d")).collect()(0)
+    val nNodes = census.getLong(0)
+
+    if (nNodes != census.getLong(1)) {
+      // hashed ids would merge two components — take the exact rank path
+      free(spark, dictIds)
+      val r = runRank(spark, raw, maxIter)
+      free(spark, rawIds)
+      r
+    } else {
+      val enc = orient(raw.select(col("hs").as("src"), col("hd").as("dst")))
+      val (edges0L, edge0Ids) =
+        if (pairsPreDeduped) (enc, rawIds) // distinct already holds; loop state rides raw's ckpt
+        else localCkpt(enc.distinct())
+      val sig0 = signature(edges0L)
+      if (!pairsPreDeduped) free(spark, rawIds) // deduped state is checkpointed now
+      val (fix, iters, loopIds) = loopToFixpoint(spark, edges0L, edge0Ids, sig0, maxIter)
+      // at fixpoint every edge is (node, componentMinHash) with node >
+      // min; mins map to themselves
+      val assignL = fix.select(col("src").as("docL"), col("dst").as("clusL"))
+        .union(fix.select(col("dst").as("docL"), col("dst").as("clusL")))
+        .groupBy("docL").agg(min("clusL").as("clusL"))
+      val dictJ = if (nNodes <= BroadcastDictMaxNodes) broadcast(dict) else dict
+      val withS = assignL.join(dictJ.select(col("nid").as("docL"), col("node")), "docL")
+      // hash order is not string order: one per-component min over the
+      // decoded strings restores cluster_id = min doc_id exactly
+      val mins = withS.groupBy("clusL").agg(min(col("node")).as("cluster_id"))
+      val assign = withS.join(mins, "clusL")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      CcResult(assign, iters, loopIds ++ dictIds)
+    }
+  }
+
+  /** The exact fallback encoding: nid = global rank of the node in string
+    * order (distributed range-partitioned sort; zipWithIndex is the one
+    * per-partition-offset primitive the DataFrame API lacks — its index
+    * is the global rank because partitions are ordered ranges). Rank is
+    * order-isomorphic, so min-long == min-string and the decode is two
+    * direct joins with no min-restoration pass.
+    */
+  private[graft] def runRank(spark: SparkSession, raw: DataFrame, maxIter: Int): CcResult = {
+    import spark.implicits._
+    val (canon0, canonIds) = localCkpt(canonical(raw.select(col("src"), col("dst"))))
+    val nodes = canon0.select(col("src").as("node"))
+      .union(canon0.select(col("dst").as("node"))).distinct()
+    val dictDf = nodes.orderBy("node").rdd.map(_.getString(0))
+      .zipWithIndex.toDF("node", "nid")
+    val (dict, dictIds) = localCkpt(dictDf)
+    val nNodes = dict.count() // materialize once; also the join-strategy input
+    val dictJ = if (nNodes <= BroadcastDictMaxNodes) broadcast(dict) else dict
+    val enc = canon0
+      .join(dictJ.select(col("node").as("src"), col("nid").as("srcL")), "src")
+      .join(dictJ.select(col("node").as("dst"), col("nid").as("dstL")), "dst")
+      .select(col("srcL").as("src"), col("dstL").as("dst"))
+    val (edges0L, edge0Ids) = localCkpt(enc)
+    val sig0 = signature(edges0L)
+    free(spark, canonIds) // string edges have no further consumer
+    val (fix, iters, loopIds) = loopToFixpoint(spark, edges0L, edge0Ids, sig0, maxIter)
+    val assignL = fix.select(col("src").as("docL"), col("dst").as("clusL"))
+      .union(fix.select(col("dst").as("docL"), col("dst").as("clusL")))
+      .groupBy("docL").agg(min("clusL").as("clusL"))
+    val assign = assignL
+      .join(dictJ.select(col("nid").as("docL"), col("node").as("doc_id")), "docL")
+      .join(dictJ.select(col("nid").as("clusL"), col("node").as("cluster_id")), "clusL")
+      .select(col("doc_id"), col("cluster_id"))
+    CcResult(assign, iters, loopIds ++ dictIds)
+  }
+
+  /** The star loop proper, over pre-checkpointed distinct edges of any
+    * orderable id type. Returns (fixpoint edges, iterations, live
+    * checkpoint ids of the fixpoint state).
+    */
+  private def loopToFixpoint(spark: SparkSession, edges0: DataFrame, edge0Ids: Set[Int],
+                             sig0: (Long, Long), maxIter: Int): (DataFrame, Int, Set[Int]) = {
+    var edges = edges0
+    var edgeIds = edge0Ids
+    var prevSig = sig0
     // Size the loop's fixed-shape shuffles to the EDGE COUNT (known from
     // the first signature), not the session's 4×-cores default: the loop
     // runs ~6 tiny stages per iteration, and at the default decomposition
@@ -175,16 +314,13 @@ object ConnectedComponents {
         prevSig = nextSig
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
-    // at fixpoint every edge is (node, componentMin) with node > min;
-    // component mins themselves map to themselves
-    val assign = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
-      .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
-      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-    CcResult(assign, iter, edgeIds)
+    (edges, iter, edgeIds)
   }
 
   /** Full assignment for all docs: nodes with no surviving edge form
-    * singleton clusters (cluster_id = own doc_id).
+    * singleton clusters (cluster_id = own doc_id). Untracked like [[run]]:
+    * leaks the final + dictionary checkpoints for the session lifetime —
+    * use [[assignAllTracked]] from anything long-lived.
     */
   def assignAll(spark: SparkSession, allDocIds: DataFrame, edges: DataFrame,
                 maxIter: Int = 50): (DataFrame, Int) = {
@@ -197,8 +333,8 @@ object ConnectedComponents {
     * release the last checkpoint via releaseCheckpoints.
     */
   def assignAllTracked(spark: SparkSession, allDocIds: DataFrame, edges: DataFrame,
-                       maxIter: Int = 50): CcResult = {
-    val r = runTracked(spark, edges, maxIter)
+                       maxIter: Int = 50, pairsPreDeduped: Boolean = false): CcResult = {
+    val r = runTracked(spark, edges, maxIter, pairsPreDeduped)
     val out = allDocIds.select(col("doc_id"))
       .join(r.assignments, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

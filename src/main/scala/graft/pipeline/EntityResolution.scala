@@ -148,7 +148,11 @@ object EntityResolution {
       // node universe from the tokenized cache when it exists (no extra
       // source scan); resumed runs fall back to the raw docs projection
       val allIds = tokedRef.map(_.select(col("doc_id"))).getOrElse(docs.select(col("doc_id")))
-      val cc = ConnectedComponents.assignAllTracked(spark, allIds, edges, cfg.maxCcIter)
+      // pairsPreDeduped: candidatePairs groupBys on (doc_id_a, doc_id_b),
+      // so each unordered pair reaches scoring exactly once — CC can skip
+      // its initial edge-dedup shuffle
+      val cc = ConnectedComponents.assignAllTracked(spark, allIds, edges, cfg.maxCcIter,
+        pairsPreDeduped = true)
       ccIters = cc.iterations
       ccCkptIds = cc.checkpointIds
       ccCounters = Map("cc_iterations" -> cc.iterations.toLong)

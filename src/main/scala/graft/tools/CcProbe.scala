@@ -57,6 +57,23 @@ object CcProbe {
     val ls2 = tm("largeStar2+ckpt")(ConnectedComponents.largeStar(ss).localCheckpoint(true))
     val ss2 = tm("smallStar2+ckpt")(ConnectedComponents.smallStar(ls2).localCheckpoint(true))
     tm("ss2 count")(println("  ss2=" + ss2.count()))
+    // the SAME phases over dictionary-encoded dense LONG node ids — the
+    // round-5 loop representation; the string phases above are the
+    // round-4 representation kept for the inflation comparison
+    val e0L = tm("encodeLong+ckpt") {
+      val idsL = e0.select(col("src").as("node")).union(e0.select(col("dst").as("node"))).distinct()
+      import spark.implicits._
+      val dict = idsL.orderBy("node").rdd.map(_.getString(0)).zipWithIndex.toDF("node", "nid")
+        .localCheckpoint(true)
+      e0.join(broadcast(dict).select(col("node").as("src"), col("nid").as("srcL")), "src")
+        .join(broadcast(dict).select(col("node").as("dst"), col("nid").as("dstL")), "dst")
+        .select(col("srcL").as("src"), col("dstL").as("dst")).localCheckpoint(true)
+    }
+    tm("e0L count")(println("  nL=" + e0L.count()))
+    val lsL = tm("largeStarL+ckpt")(ConnectedComponents.largeStar(e0L).localCheckpoint(true))
+    tm("lsL count")(println("  lsL=" + lsL.count()))
+    val ssL = tm("smallStarL+ckpt")(ConnectedComponents.smallStar(lsL).localCheckpoint(true))
+    tm("ssL count")(println("  ssL=" + ssL.count()))
     // the real loop end-to-end for reference
     val (assign, iters) = tm("full runLoop")(ConnectedComponents.assignAll(
       spark, edges0.select(col("src").as("doc_id")).distinct(), edges0))

@@ -65,4 +65,37 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(got == want, s"trial $trial: n=$n m=$m")
     }
   }
+
+  test("rank-encoded fallback path matches the hashed path and the oracle") {
+    // the collision fallback (runRank) must stay semantically identical to
+    // the default hashed encoding — same graphs through both paths
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val n = 15 + rnd.nextInt(25)
+      val nodes = (0 until n).map(i => f"w$i%03d")
+      val m = rnd.nextInt(2 * n) + 1
+      val edges = (0 until m).map(_ => (nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n))))
+      import org.apache.spark.sql.functions.col
+      val edgesDf = edges.toDF("src", "dst")
+      val viaHash = ConnectedComponents.runTracked(spark, edgesDf)
+      val viaRank = ConnectedComponents.runRank(spark, edgesDf.select(col("src"), col("dst")), 50)
+      val a = viaHash.assignments.as[(String, String)].collect().toMap
+      val b = viaRank.assignments.as[(String, String)].collect().toMap
+      assert(a == b, s"trial $trial: hash and rank paths diverge")
+      val want = ufComponents(nodes, edges).filter { case (k, v) => a.contains(k) }
+      assert(a == want, s"trial $trial: vs oracle (non-edge nodes excluded)")
+      viaHash.releaseCheckpoints(spark); viaRank.releaseCheckpoints(spark)
+    }
+  }
+
+  test("pairsPreDeduped path produces identical assignments") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "e"))
+    val nodesDf = Seq("a", "b", "c", "d", "e", "f").toDF("doc_id")
+    val r1 = ConnectedComponents.assignAllTracked(spark, nodesDf, edges.toDF("src", "dst"))
+    val r2 = ConnectedComponents.assignAllTracked(spark, nodesDf, edges.toDF("src", "dst"),
+      pairsPreDeduped = true)
+    assert(r1.assignments.as[(String, String)].collect().toMap ==
+      r2.assignments.as[(String, String)].collect().toMap)
+    r1.releaseCheckpoints(spark); r2.releaseCheckpoints(spark)
+  }
 }
