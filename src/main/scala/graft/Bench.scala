@@ -32,9 +32,10 @@ import org.apache.spark.sql.SparkSession
   * measured the neighbors, not the engine. The official estimate is then
   * min wall over the surviving (vetted) legs per side; the per-leg census
   * with its vetoed flag, the veto factor, and a secondary estimator — the
-  * per-interleaved-(N,4N)-pair efficiency list and its median — are ALL
-  * emitted under "er_scaling"/"er_legs", so every veto/pairing decision
-  * is auditable from the artifact itself.
+  * per-interleaved-(N,4N)-pair efficiency list and its median, in BOTH a
+  * raw form and a vetted form that drops pairs containing a vetoed leg —
+  * are ALL emitted under "er_scaling"/"er_legs", so every veto/pairing
+  * decision is auditable from the artifact itself.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
   * (default 32), SPARK_GRAFT_BENCH_ENTITIES × SPARK_GRAFT_BENCH_DPE (ER
@@ -85,6 +86,7 @@ object Bench {
     */
   final case class ScalingEstimate(bestN: Leg, best4: Leg, efficiency: Double,
                                    pairEffs: Seq[Double], pairMedian: Double,
+                                   pairEffsVetted: Seq[Double], pairMedianVetted: Double,
                                    vetoed: Set[(Int, Int)]) // (threads, rep)
 
   def officialEstimate(legs: Seq[Leg], nSmall: Int, vetoF: Double): ScalingEstimate = {
@@ -101,16 +103,27 @@ object Bench {
     val eff = (best4.docs / best4.wall) / (4.0 * (bestN.docs / bestN.wall))
     // secondary: efficiency per adjacent interleaved (N, 4N) pair — both
     // legs of a pair share one ambient window, so intermittent load
-    // cancels in the ratio; the median ignores a wholly polluted pair
-    val pairEffs = legs.filter(_.threads == nSmall).sortBy(_.rep).flatMap { a =>
-      legs.find(l => l.threads == nSmall * 4 && l.rep == a.rep)
-        .map(b => a.wall / (4.0 * b.wall))
-    }.sorted
-    val med =
-      if (pairEffs.isEmpty) 0.0
-      else if (pairEffs.size % 2 == 1) pairEffs(pairEffs.size / 2)
-      else (pairEffs(pairEffs.size / 2 - 1) + pairEffs(pairEffs.size / 2)) / 2.0
-    ScalingEstimate(bestN, best4, eff, pairEffs, med,
+    // cancels in the ratio. The VETTED list (the headline secondary)
+    // additionally drops any pair containing a census-vetoed leg: a
+    // vetoed leg measured ambient load, and one such pair can drag the
+    // raw median below the gate even when the quiet pairs agree (the raw
+    // list is still emitted so every exclusion stays auditable). If
+    // every pair touches a vetoed leg the raw list is the fallback —
+    // pairing still cancels load better than nothing in that window.
+    def median(xs: Seq[Double]) =
+      if (xs.isEmpty) 0.0
+      else if (xs.size % 2 == 1) xs(xs.size / 2)
+      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
+    val pairs = legs.filter(_.threads == nSmall).sortBy(_.rep).flatMap { a =>
+      legs.find(l => l.threads == nSmall * 4 && l.rep == a.rep).map(b => (a, b))
+    }
+    val pairEffs = pairs.map { case (a, b) => a.wall / (4.0 * b.wall) }.sorted
+    val vettedPairs = pairs.filter { case (a, b) => !isVetoed(a) && !isVetoed(b) }
+    val pairEffsVetted =
+      (if (vettedPairs.isEmpty) pairs else vettedPairs)
+        .map { case (a, b) => a.wall / (4.0 * b.wall) }.sorted
+    ScalingEstimate(bestN, best4, eff, pairEffs, median(pairEffs),
+      pairEffsVetted, median(pairEffsVetted),
       legs.filter(isVetoed).map(l => (l.threads, l.rep)).toSet)
   }
 
@@ -231,13 +244,15 @@ object Bench {
       val repsN = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS_N", "3").toInt
       val vetoF = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPU_VETO", "1.25").toDouble
       // interleave the legs so a slow ambient window hits at most one run
-      // of each side, then take the best run per leg
+      // of each side, then take the best run per leg; the tmpfs corpus is
+      // shared RAM — delete it even when a leg throws
       val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
-      (0 until math.max(reps, repsN)).foreach { i =>
-        if (i < repsN) legs += erRun(nSmall, i, corpusDir)
-        if (i < reps) legs += erRun(nSmall * 4, i, corpusDir)
-      }
-      new scala.reflect.io.Directory(new java.io.File(corpusDir)).deleteRecursively()
+      try {
+        (0 until math.max(reps, repsN)).foreach { i =>
+          if (i < repsN) legs += erRun(nSmall, i, corpusDir)
+          if (i < reps) legs += erRun(nSmall * 4, i, corpusDir)
+        }
+      } finally new scala.reflect.io.Directory(new java.io.File(corpusDir)).deleteRecursively()
       val est = officialEstimate(legs.toSeq, nSmall, vetoF)
       require(est.bestN.docs == est.best4.docs,
         s"non-deterministic corpus: ${est.bestN.docs} != ${est.best4.docs}")
@@ -249,6 +264,8 @@ object Bench {
         s""""docs_per_sec_N":$tpN,"docs_per_sec_4N":$tp4,"scaling_efficiency":${est.efficiency},""" +
         f""""pair_efficiencies":[${est.pairEffs.map(e => f"$e%.4f").mkString(",")}],""" +
         f""""pair_efficiency_median":${est.pairMedian}%.4f,""" +
+        f""""pair_efficiencies_vetted":[${est.pairEffsVetted.map(e => f"$e%.4f").mkString(",")}],""" +
+        f""""pair_efficiency_median_vetted":${est.pairMedianVetted}%.4f,""" +
         s""""er_legs":[${legs.map(l => l.json(est.vetoed((l.threads, l.rep)))).mkString(",")}]}"""
     }
 

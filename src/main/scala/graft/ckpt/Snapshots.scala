@@ -43,13 +43,15 @@ object Snapshots {
   def snapshots(runDir: String, stage: String): Seq[Long] = {
     val d = Paths.get(stageDir(runDir, stage))
     if (!Files.isDirectory(d)) return Seq.empty
-    Files.list(d).toArray.toSeq.map(_.toString)
-      .flatMap { p =>
-        val name = Paths.get(p).getFileName.toString
-        if (name.startsWith("snapshot=") && Files.exists(Paths.get(p, "_COMMITTED")))
-          Some(name.stripPrefix("snapshot=").toLong)
-        else None
-      }.sorted
+    // Files.list holds a directory fd until closed — close it or a
+    // long-lived resume/audit session leaks one fd per call
+    val entries = scala.util.Using.resource(Files.list(d))(_.toArray.toSeq.map(_.toString))
+    entries.flatMap { p =>
+      val name = Paths.get(p).getFileName.toString
+      if (name.startsWith("snapshot=") && Files.exists(Paths.get(p, "_COMMITTED")))
+        Some(name.stripPrefix("snapshot=").toLong)
+      else None
+    }.sorted
   }
 
   /** Latest committed snapshot id for a stage, if any. */
@@ -146,7 +148,7 @@ object Snapshots {
   def lineage(spark: SparkSession, runDir: String): Option[DataFrame] = {
     val d = Paths.get(runDir)
     if (!Files.isDirectory(d)) return None
-    val paths = Files.walk(d).toArray.toSeq.map(_.toString)
+    val paths = scala.util.Using.resource(Files.walk(d))(_.toArray.toSeq.map(_.toString))
       .filter(_.endsWith("/lineage"))
     if (paths.isEmpty) None
     else Some(spark.read.parquet(paths: _*))

@@ -119,9 +119,12 @@ object Kernels {
     // fail loud here, not branch on wrapped values
     if (n >= 2) {
       val span = math.max(times(n - 1) - times(0), 1L)
-      require(z * n.toLong * 2L * span < 3000000000L,
-        s"kdeCentersInt: z·n·2·span = ${z * n.toLong * 2L * span} exceeds the int64-exact " +
-          s"bound 3e9 (n=$n, span=$span) — rescale times to day-scale units")
+      // the bound product itself must not wrap (a nanosecond-epoch span
+      // can overflow z·n·2·span and sneak PAST the require): compare by
+      // division instead of forming the product
+      require(span < 3000000000L / (z * n.toLong * 2L),
+        s"kdeCentersInt: z·n·2·span ≥ 3e9, the int64-exact bound " +
+          s"(n=$n, span=$span, z=$z) — rescale times to day-scale units")
     }
     if (n == 0) return Array.empty
     if (n == 1) return Array(times(0))

@@ -61,6 +61,36 @@ class BenchEstimatorSpec extends AnyFunSuite {
     assert(math.abs(e.pairMedian - quiet(1)) < 1e-12)
     // and the polluted round's legs are both vetoed from the official pick
     assert(e.vetoed.contains((1, 1)) && e.vetoed.contains((4, 1)))
+    // the VETTED median excludes the polluted pair entirely: mean of the
+    // two quiet pairs
+    val vetted = Seq(250.0 / (4 * 78), 248.0 / (4 * 79)).sorted
+    assert(e.pairEffsVetted.size == 2)
+    assert(math.abs(e.pairMedianVetted - (vetted(0) + vetted(1)) / 2.0) < 1e-12)
+  }
+
+  test("a single vetoed 4N leg cannot drag the vetted median below the raw one") {
+    // the round-4 driver artifact's case: one load-polluted 4N leg (quiet
+    // N partner) pulls its pair to ~0.33 and the 3-pair raw median under
+    // the gate; the vetted median must ignore exactly that pair
+    val legs = Seq(
+      leg(1, 0, 250, 230), leg(4, 0, 190, 740),  // polluted 4N: pair 0.33
+      leg(1, 1, 245, 228), leg(4, 1, 75, 260),   // quiet: 0.817
+      leg(1, 2, 252, 231), leg(4, 2, 77, 262))   // quiet: 0.818
+    val e = Bench.officialEstimate(legs, 1, 1.25)
+    assert(e.vetoed == Set((4, 0)))
+    assert(e.pairEffs.size == 3 && e.pairEffsVetted.size == 2)
+    assert(e.pairMedianVetted > 0.8, s"vetted median ${e.pairMedianVetted}")
+    assert(e.pairMedian < e.pairMedianVetted)
+  }
+
+  test("all pairs touched by vetoes: vetted list falls back to the raw pairs") {
+    val legs = Seq(
+      leg(1, 0, 250, 230), leg(4, 0, 90, 400),
+      leg(1, 1, 260, 240), leg(4, 1, 95, 420),
+      leg(4, 2, 80, 262)) // the only quiet 4N leg is unpaired
+    val e = Bench.officialEstimate(legs, 1, 1.25)
+    assert(e.pairEffsVetted == e.pairEffs)
+    assert(e.best4.wall == 80) // official pick still uses the quiet leg
   }
 
   test("asymmetric reps: unpaired 4N legs still feed the official pick, not the pairs") {

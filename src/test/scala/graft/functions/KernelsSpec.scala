@@ -113,6 +113,19 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.kdeCentersInt(Array(100L, 50000L)).length == 1)
   }
 
+  test("kdeCentersInt span guard fails loud even where the bound product would wrap int64") {
+    // span 2e18: z·n·2·span = 1.6e19 wraps NEGATIVE in int64, so a naive
+    // product-form require would pass exactly in the regime it must
+    // reject; the division-form guard still fires
+    intercept[IllegalArgumentException] {
+      Kernels.kdeCentersInt(Array(0L, 2000000000000000000L), h = 1800L, z = 2L)
+    }
+    // and an epoch-millisecond-scale span is rejected without wrapping
+    intercept[IllegalArgumentException] {
+      Kernels.kdeCentersInt(Array(0L, 1700000000000L), h = 1800L, z = 2L)
+    }
+  }
+
   test("assignToCentersInt: nearest center VALUE within dc, ties to larger, -1 outside") {
     val centers = Array(1000L, 5000L)
     assert(Kernels.assignToCentersInt(1200L, centers) == 1000L)
