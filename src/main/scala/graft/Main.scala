@@ -10,14 +10,36 @@ import org.apache.spark.sql.SparkSession
   * Usage (all args optional):
   *   graft.Main [--entities N] [--docs-per-entity D] [--seed S]
   *              [--run-dir DIR] [--resume] [--threads T] [--no-eval]
+  *              [--snapshot-id K] [--sweep]
   *
   * Synthesizes the deterministic docs corpus (BASELINE.json input_hint
   * shape), runs blocking → scoring → clustering (checkpointed to
   * --run-dir when given, resumable with --resume), evaluates pairwise
-  * F1 at shared blocking keys + exact cluster equality vs gold, and
-  * prints one JSON line of metrics.
+  * F1 at shared blocking keys + exact cluster equality vs gold (plus the
+  * blocking-recall tail: gold pairs sharing NO block key), and prints
+  * one JSON line of metrics.
+  *
+  * `--snapshot-id K` (with --run-dir): TIME-TRAVEL read — no pipeline
+  * run; re-evaluates the cluster_assignments snapshot K read-only
+  * (rows, clusters, and — unless --no-eval — cluster equality vs the
+  * gold regenerated from the same --entities/--docs-per-entity/--seed).
   */
 object Main {
+
+  /** Read-only re-evaluation of an older cluster_assignments snapshot
+    * (the runnable time-travel surface over Snapshots.loadSnapshot).
+    */
+  def snapshotReport(spark: SparkSession, runDir: String, snapshotId: Long,
+                     cfg: GenConfig, doEval: Boolean): String = {
+    val assign = graft.ckpt.Snapshots.loadSnapshot(spark, runDir, "cluster_assignments", snapshotId)
+    val docs = assign.count()
+    val clusters = assign.select("cluster_id").distinct().count()
+    val evalJson = if (doEval) {
+      val gold = DocGen.gold(spark, cfg).toDF()
+      s""","cluster_equality":${Eval.clusterEquality(assign, gold)}"""
+    } else ""
+    s"""{"snapshot_id":$snapshotId,"docs":$docs,"clusters":$clusters$evalJson}"""
+  }
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 1).collect {
       case Array(k, v) if k.startsWith("--") => k -> v
@@ -46,6 +68,15 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val snapOpt = opts.get("--snapshot-id")
+    if (snapOpt.isDefined) {
+      val dir = runDir.getOrElse(
+        sys.error("--snapshot-id requires --run-dir (the snapshot log to read)"))
+      println(snapshotReport(spark, dir, snapOpt.get.toLong, cfg, doEval))
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val docs = DocGen.docs(spark, cfg).toDF().cache()
     val nDocs = docs.count()
@@ -59,6 +90,7 @@ object Main {
       val m = Eval.pairwiseF1(res.assignments, labeled)
       val eq = Eval.clusterEquality(res.assignments, gold)
       val (_, _, r3) = Eval.rankAtK(res.scoredPairs, gold, 3)
+      val (gpTotal, gpBlocked, gpMissed) = Eval.blockingTail(labeled, gold)
       // --sweep: re-blend the committed channel scores over a (γ_text,
       // threshold) grid (reference AMPI.scala:371-421) — one aggregation
       // pass for F1 across the whole grid, plus rank@3 per γ (ranking is
@@ -89,7 +121,9 @@ object Main {
         s""","sweep":[${pts.map(_.json).mkString(",")}],"sweep_rank":[${rank3.mkString(",")}]"""
       } else ""
       s""","f1":${m.f1},"precision":${m.precision},"recall":${m.recall},""" +
-        s""""rank_at_3":$r3,"cluster_equality":$eq$sweepJson"""
+        s""""rank_at_3":$r3,"cluster_equality":$eq,""" +
+        s""""gold_pairs_total":$gpTotal,"gold_pairs_blocked":$gpBlocked,""" +
+        s""""gold_pairs_missed":$gpMissed$sweepJson"""
     } else ""
     val counters = res.counters.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -34,6 +34,35 @@ object Eval {
     PairwiseMetrics(tp, fp, fn, p, r, f1)
   }
 
+  /** Blocking-recall tail: of ALL gold same-entity pairs, how many share at
+    * least one blocking key (= appear in the candidate/labeled universe) vs
+    * none. `missed` is the one number that separates a scorer miss from a
+    * blocking miss when entities split at scale — a split entity with
+    * missed = 0 lost its pairs at the score threshold, not in blocking.
+    * The total comes from entity sizes (Σ n·(n−1)/2 — no pair join), the
+    * covered count from the labeled candidate universe; both one
+    * aggregate. Reference analogue: the recall side of the blocking slack
+    * study, AMPI.scala:212-220.
+    *
+    * INTERPRETATION requires the entity-size distribution: for entities
+    * LARGER than the block-size cap, candidate coverage is intentionally
+    * sub-quadratic (refinement + chain recovery emit O(s·cap) pairs that
+    * guarantee CONNECTIVITY, never all C(s,2)), so on hot-entity corpora
+    * `missed` counts uncandidated-by-design pairs, not lost entities —
+    * there the cluster-equality gate is the recall truth. On a uniform
+    * corpus with per-entity sizes ≤ cap (e.g. the bench/headroom corpora,
+    * 3 docs/entity), every gold pair should be a candidate and `missed`
+    * reads directly as blocking misses.
+    * Returns (goldPairsTotal, goldPairsBlocked, goldPairsMissed).
+    */
+  def blockingTail(labeled: DataFrame, gold: DataFrame): (Long, Long, Long) = {
+    val total = gold.groupBy("entity_id").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) / 2")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    val covered = labeled.where(col("is_match")).count()
+    (total, covered, total - covered)
+  }
+
   /** Rank@k (reference AMPI_rank_result.scala:23-41: a match counts as a
     * hit when the ground-truth counterpart appears in the doc's top-k
     * scored candidates): per doc, candidates rank by score desc with a

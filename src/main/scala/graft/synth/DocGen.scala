@@ -120,6 +120,10 @@ object DocGen {
   def genDoc(cfg: GenConfig, globalIdx: Long): (Doc, String) = {
     val entityIdx = globalIdx / cfg.docsPerEntity
     val docIdx = globalIdx % cfg.docsPerEntity
+    genAt(cfg, entityIdx, docIdx, f"d$globalIdx%012d")
+  }
+
+  private def genAt(cfg: GenConfig, entityIdx: Long, docIdx: Long, docId: String): (Doc, String) = {
     val r = rng(cfg.seed, 0xd0cL, entityIdx, docIdx)
     val tmpl = template(cfg, entityIdx)
     val spans = Vector.newBuilder[Span]
@@ -133,9 +137,39 @@ object DocGen {
         if (r.nextDouble() >= cfg.mediaDropProb) spans += Span("media", "", s.media_ref, off)
       }
     }
-    val docId = f"d$globalIdx%012d"
     val entityId = f"e$entityIdx%09d"
     (Doc(docId, spans.result()), entityId)
+  }
+
+  /** Per-entity doc count in the POWER-LAW mode: entity e gets
+    * max(docsPerEntity, head/(e+1)) docs — a 1/rank head of HOT ENTITIES
+    * (entity 0 gets `head` docs, far above any block-size cap) decaying
+    * into the uniform docsPerEntity tail. This is the block-size cap's
+    * OTHER failure axis (hot entities, not just hot shared tokens): every
+    * key a hot entity emits is hot, so its recall rides entirely on the
+    * refinement + chain recovery paths.
+    */
+  private[graft] def skewedSize(cfg: GenConfig, entityIdx: Long, head: Int): Int =
+    math.max(cfg.docsPerEntity, (head / (entityIdx + 1)).toInt)
+
+  /** Power-law entity-size corpus (doc ids "s<entity>x<slot>" — a distinct
+    * namespace from the uniform generator). Deterministic and
+    * partition-count independent like docs().
+    */
+  def docsSkewed(spark: SparkSession, cfg: GenConfig, head: Int = 256): Dataset[Doc] = {
+    import spark.implicits._
+    spark.range(0, cfg.numEntities, 1, cfg.numPartitions).flatMap { e =>
+      (0 until skewedSize(cfg, e, head)).iterator
+        .map(d => genAt(cfg, e, d, f"s$e%09dx$d%05d")._1)
+    }
+  }
+
+  def goldSkewed(spark: SparkSession, cfg: GenConfig, head: Int = 256): Dataset[GoldCluster] = {
+    import spark.implicits._
+    spark.range(0, cfg.numEntities, 1, cfg.numPartitions).flatMap { e =>
+      (0 until skewedSize(cfg, e, head)).iterator
+        .map(d => GoldCluster(f"s$e%09dx$d%05d", f"e$e%09d"))
+    }
   }
 
   /** Distributed generation: spark.range → pure map. Scales to any size

@@ -57,6 +57,21 @@ class ResumeSpec extends SparkSpec {
     assert(lin.where("rows_out < 0").isEmpty)
   }
 
+  test("snapshotReport: the --snapshot-id surface re-evaluates an older run read-only") {
+    val docs = DocGen.docs(spark, cfg).toDF().cache()
+    val tmp = Files.createTempDirectory("graft-snapid").toString
+    EntityResolution.run(spark, docs, runDir = Some(tmp), runId = "r1")
+    val json = graft.Main.snapshotReport(spark, tmp, 0L, cfg, doEval = true)
+    assert(json.contains(""""snapshot_id":0"""), json)
+    assert(json.contains(s""""docs":${cfg.numDocs}"""), json)
+    assert(json.contains(s""""clusters":${cfg.numEntities}"""), json)
+    assert(json.contains(""""cluster_equality":true"""), json)
+    // unknown snapshot id fails loud through the same surface
+    intercept[IllegalArgumentException](
+      graft.Main.snapshotReport(spark, tmp, 9L, cfg, doEval = false))
+    docs.unpersist()
+  }
+
   test("time-travel: older snapshot stays readable and byte-stable after a newer commit") {
     import org.apache.spark.sql.functions.lit
     val spark2 = spark

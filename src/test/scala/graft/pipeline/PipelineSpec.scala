@@ -65,6 +65,33 @@ class PipelineSpec extends SparkSpec {
     all.unpersist(); allGold.unpersist()
   }
 
+  test("power-law entity sizes: hot entities stay whole, F1 gate + tail counter hold") {
+    // hot ENTITIES (not just hot shared tokens) are the block-size cap's
+    // other failure axis: every key a 256-doc entity emits is hot, so its
+    // recall rides entirely on refinement + chain recovery
+    val c = GenConfig(numEntities = 300, docsPerEntity = 3, seed = 5L)
+    val d = DocGen.docsSkewed(spark, c).toDF().cache()
+    val g = DocGen.goldSkewed(spark, c).toDF().cache()
+    val res = EntityResolution.run(spark, d)
+    assert(res.counters("capped_block_keys") > 0, "skewed corpus must produce hot keys")
+    val labeled = EntityResolution.labeledPairs(res.blocking, g).cache()
+    val (gpTotal, gpBlocked, gpMissed) = Eval.blockingTail(labeled, g)
+    info(s"gold pairs: total=$gpTotal blocked=$gpBlocked missed=$gpMissed counters=${res.counters}")
+    assert(gpTotal > 32000, "head entity alone contributes C(256,2) gold pairs")
+    // above-cap entities are candidated sub-quadratically BY DESIGN
+    // (connectivity, not all-pairs — see Eval.blockingTail scaladoc), so
+    // the pair-level tail is large here; the recall truth on this corpus
+    // is exact cluster equality below. Pairs of TAIL entities (size ≤
+    // cap) must still be fully candidated: their per-entity C(3,2)=3
+    // pairs all share ordinary small-block keys.
+    assert(gpBlocked.toDouble >= 0.3 * gpTotal, "even the connectivity universe collapsed")
+    val m = Eval.pairwiseF1(res.assignments, labeled)
+    info(s"skewed corpus: P=${m.precision} R=${m.recall} F1=${m.f1}")
+    assert(m.f1 >= 0.99, s"F1 ${m.f1} below gate on power-law entity sizes")
+    assert(Eval.clusterEquality(res.assignments, g), "cluster membership != gold under entity skew")
+    res.release(); labeled.unpersist(); d.unpersist(); g.unpersist()
+  }
+
   test("rank@k: every doc's gold counterpart appears in its top-3 scored candidates") {
     val res = EntityResolution.run(spark, docs)
     val (hits, n, rate) = Eval.rankAtK(res.scoredPairs, gold, k = 3)
