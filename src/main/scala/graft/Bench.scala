@@ -181,20 +181,31 @@ object Bench {
     // 1) headline queries at local[cpus] — a failed query is RECORDED as a
     //    failure (name → error head), never as a normal-looking wall time
     val skipQueries = sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
-    val (results, failures): (Map[String, Double], Map[String, String]) = if (skipQueries) (Map.empty, Map.empty) else {
-      val spark = session(cpus)
-      var fails = Map.empty[String, String]
-      val r = SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            fails += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    val (results, failures, observed): (Map[String, Double], Map[String, String], Map[String, String]) =
+      if (skipQueries) (Map.empty, Map.empty, Map.empty) else {
+        val spark = session(cpus)
+        var fails = Map.empty[String, String]
+        val r = SparkEntry.queries.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              fails += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+          name -> (System.nanoTime() - t0) / 1e9
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        // q35's posting-list census in the artifact (adversarial corpora
+        // surface as numbers, not just wall time): one dedicated
+        // aggregate, because the in-query `observe` metric's subtree is
+        // self-joined and unexecuted plan clones read zero through
+        // queryExecution.observedMetrics (see Trajectory.q35PostingCensus)
+        val obs = try {
+          val (maxDf, rows) = graft.queries.Trajectory.q35PostingCensus(spark, sfDir)
+          Map("q35_posting_census" ->
+            s"""{"max_surviving_df":$maxDf,"exploded_rows":$rows}""")
+        } catch { case _: Throwable => Map.empty[String, String] }
+        spark.stop()
+        (r -- fails.keys, fails, obs)
       }
-      spark.stop()
-      (r -- fails.keys, fails)
-    }
     // ANN quality alongside speed: the full recall-vs-probes curve of the
     // IVF index against the brute-force top-3 truth (ONE trained index
     // reused across depths), plus the recall at the shipped default
@@ -216,6 +227,7 @@ object Bench {
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => "\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
+    val os = observed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     // 2) ER scaling: identical corpus (seeded, partition-count-independent
@@ -269,7 +281,7 @@ object Bench {
         s""""er_legs":[${legs.map(l => l.json(est.vetoed((l.threads, l.rep)))).mkString(",")}]}"""
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$ivfRecall$scaling}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"observed":$os,"sf":"$sfDir"$ivfRecall$scaling}""")
     // tmpfs shuffle dir is shared RAM — never leave OUR dir populated
     // (other processes' dirs are theirs to clean)
     import scala.reflect.io.Directory

@@ -115,7 +115,7 @@ object Trajectory {
     * the union sums (exact no-op on results), and they are precisely the
     * hot tokens whose pair explosion would dominate the join at scale.
     */
-  def q35_weighted_jaccard(spark: SparkSession, dir: String): DataFrame = {
+  private def q35TokensAndWeights(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val tok = t(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(array_distinct(CorpusExpr.tokens(col("text")))).as("token"))
@@ -124,6 +124,27 @@ object Trajectory {
       .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
       .where(col("w") > 0) // df-pruning: hot tokens weigh 0 — drop pre-join
       .select("token", "w", "df")
+    (tok, w)
+  }
+
+  /** The q35 posting-list census as ONE standalone aggregate — (max
+    * surviving df, exploded post-join rows), the two numbers that bound
+    * the pair join's Σ df² explosion on an adversarial corpus. The
+    * in-query `observe` version of the same census cannot be exported
+    * reliably from an artifact collector: its subtree is SELF-JOINED in
+    * q35's plan, and the unexecuted plan clones read all-zero
+    * accumulators through queryExecution.observedMetrics.
+    */
+  def q35PostingCensus(spark: SparkSession, dir: String): (Long, Long) = {
+    val (tok, w) = q35TokensAndWeights(spark, dir)
+    val r = tok.join(w, "token")
+      .agg(max(col("df")).as("max_surviving_df"), count(lit(1)).as("exploded_rows"))
+      .collect()(0)
+    (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+  }
+
+  def q35_weighted_jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val (tok, w) = q35TokensAndWeights(spark, dir)
     // posting-list census as an OBSERVED metric (CollectMetrics — no extra
     // job/shuffle): the pair join below explodes as Σ df² over surviving
     // tokens, so an adversarial corpus (a non-hot-but-huge posting list)
