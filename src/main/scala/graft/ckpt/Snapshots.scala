@@ -109,6 +109,25 @@ object Snapshots {
     Committed(stage, snapId, dataPath, rows)
   }
 
+  /** Counters recorded in a committed snapshot's manifest (the durable
+    * side-channel a later increment reads back — e.g. media_df's `n_docs`,
+    * the corpus size behind the committed idf weights). Empty map when the
+    * manifest is absent.
+    */
+  def counters(runDir: String, stage: String, snapshotId: Long): Map[String, Long] = {
+    val m = Paths.get(s"${stageDir(runDir, stage)}/snapshot=$snapshotId/_manifest.json")
+    if (!Files.exists(m)) return Map.empty
+    "\"counters\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(Files.readString(m))
+      .map(_.group(1)).map { body =>
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(body)
+          .map(mm => mm.group(1) -> mm.group(2).toLong).toMap
+      }.getOrElse(Map.empty)
+  }
+
+  /** Counters of the LATEST committed snapshot of a stage. */
+  def lastCounters(runDir: String, stage: String): Map[String, Long] =
+    lastCommitted(runDir, stage).map(counters(runDir, stage, _)).getOrElse(Map.empty)
+
   /** Manifest format version of a committed snapshot: absent field (or
     * absent manifest — pre-manifest layouts) reads as v1.
     */

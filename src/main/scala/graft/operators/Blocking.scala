@@ -65,6 +65,15 @@ object Blocking {
   def famTag(fam: Long, h: Column): Column =
     shiftleft(lit(fam), 60).bitwiseOR(shiftrightunsigned(h, 4))
 
+  /** True iff a block key belongs to a RAW key family (Sn/Mh/Md/Tk) rather
+    * than a derived Refined/Chain recovery key — the filter that recovers
+    * exact raw small-key membership back out of a committed blocking
+    * snapshot (the incremental path unions it with the block_hot snapshot
+    * to reconstruct the full keyedDocs relation of committed docs).
+    */
+  def isRawKey(key: Column): Column =
+    shiftrightunsigned(key, 60) < lit(Family.Refined)
+
   /** Typo-robust sorted-neighborhood keys: one key per head token position
     * (sn1 = prefix of token 1, sn2 = prefix of token 2). A typo in either
     * head token still leaves the OTHER key shared, so recall survives
@@ -122,6 +131,34 @@ object Blocking {
     * expressions). Input: a `tokenized` relation (doc_id, toks, md).
     * Returns (block_key, doc_id) rows, pre-explode.
     */
+  /** Refinement-signature shape (see keyedDocs): 2 families × 3 minhashes
+    * from a DEDICATED seed range never used by band keys.
+    */
+  private val RefineHashes = 6
+  private val RefineSeed = 5000
+
+  /** The per-family refinement hash over projected (toks, md, refine-sig)
+    * columns — ONE definition consumed by keyedDocs (batch) and docRefine
+    * (the per-doc relation the incremental path snapshots); drift between
+    * the two would silently break hot-key recall on increments.
+    */
+  private def refineCol(i: Int): Column =
+    when(size(col("toks")) > 0,
+      xxhash64(element_at(col("refine"), 3 * i + 1), element_at(col("refine"), 3 * i + 2),
+        element_at(col("refine"), 3 * i + 3)))
+      .otherwise(xxhash64(col("md"), lit(RefineSeed + i)))
+
+  /** Per-doc refinement hashes (doc_id, refine0, refine1) over a tokenized
+    * relation — bit-identical to the values keyedDocs embeds in its rows.
+    */
+  private[graft] def docRefine(toked: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(toked.sparkSession)
+    toked.select(col("doc_id"), col("toks"), col("md"), shingles(col("toks"), 2).as("sh"))
+      .select(col("doc_id"), col("toks"), col("md"),
+        graft.functions.MinhashSigExpression.minhashSigNative(col("sh"), RefineHashes, RefineSeed).as("refine"))
+      .select(col("doc_id"), refineCol(0).as("refine0"), refineCol(1).as("refine1"))
+  }
+
   private[graft] def keyedDocs(toked: DataFrame, numBands: Int, rowsPerBand: Int,
                         tokenBands: Int): DataFrame = {
     graft.GraftExtensions.register(toked.sparkSession) // minhash_sig used below
@@ -147,7 +184,7 @@ object Blocking {
     // back to a hash of their media-token set.
     val sigCols = Seq(
       graft.functions.MinhashSigExpression.minhashSigNative(col("sh"), numBands * rowsPerBand, 0).as("sig_mh"),
-      graft.functions.MinhashSigExpression.minhashSigNative(col("sh"), 6, 5000).as("refine")) ++
+      graft.functions.MinhashSigExpression.minhashSigNative(col("sh"), RefineHashes, RefineSeed).as("refine")) ++
       (if (tb > 0) Seq(graft.functions.MinhashSigExpression.minhashSigNative(array_distinct(col("toks")), tb * tkRows, 1000).as("sig_tk"))
        else Seq.empty)
     val sigged = shingled.select(Seq(col("doc_id"), col("toks"), col("md")) ++ sigCols: _*)
@@ -156,14 +193,9 @@ object Blocking {
         concat(bandKeysFromSig(col("sig_mh"), numBands, rowsPerBand, Family.Mh),
           bandKeysFromSig(col("sig_tk"), tb, tkRows, Family.Tk))
       else bandKeysFromSig(col("sig_mh"), numBands, rowsPerBand, Family.Mh)
-    val refine = (i: Int) =>
-      when(size(col("toks")) > 0,
-        xxhash64(element_at(col("refine"), 3 * i + 1), element_at(col("refine"), 3 * i + 2),
-          element_at(col("refine"), 3 * i + 3)))
-        .otherwise(xxhash64(col("md"), lit(5000 + i)))
     val mdKeys = transform(col("md"), t => famTag(Family.Md, xxhash64(t)))
     sigged.select(col("doc_id"),
-      refine(0).as("refine0"), refine(1).as("refine1"),
+      refineCol(0).as("refine0"), refineCol(1).as("refine1"),
       explode(
         when(size(col("toks")) === 0 && size(col("md")) === 0, array().cast("array<long>"))
           .otherwise(array_union(
@@ -216,27 +248,42 @@ object Blocking {
     */
   def blockTokenized(toked: DataFrame, numBands: Int = 12, rowsPerBand: Int = 4,
             maxBlockSize: Int = 64, tokenBands: Int = 0): (DataFrame, Map[String, Long]) = {
+    val o = blockTokenizedFull(toked, numBands, rowsPerBand, maxBlockSize, tokenBands,
+      withHotRows = false)
+    (o.rows, o.counters)
+  }
+
+  /** Blocking output plus (optionally) the RAW hot-key relation
+    * (block_key, doc_id, refine0, refine1) — the full membership of every
+    * over-cap key BEFORE refinement replaced it. The incremental path
+    * (EntityResolution.addDocuments) snapshots this relation so a later
+    * increment can recompute the refinement + chain rows of an affected hot
+    * key over its MERGED membership exactly as a batch run would — without
+    * re-reading any committed document. `hotRows` is persisted +
+    * materialized when present; the caller owns its lifetime.
+    */
+  final case class BlockingOutput(rows: DataFrame, counters: Map[String, Long],
+                                  hotRows: Option[DataFrame])
+
+  /** Derive the two refinement sub-keys from the raw hot relation
+    * (block_key, doc_id, refine0, refine1) — the single definition shared
+    * by the batch route and incremental recomputation (sub-key drift
+    * between the two would silently break hot-key recall on increments).
+    */
+  private[graft] def hotKeyed(hotBase: DataFrame): DataFrame =
+    hotBase.select(col("block_key"), col("doc_id"),
+      famTag(Family.Refined, xxhash64(col("block_key"), col("refine0"), lit(0))).as("r0key"),
+      famTag(Family.Refined, xxhash64(col("block_key"), col("refine1"), lit(1))).as("r1key"))
+
+  /** The two hot-key recovery paths (see block() scaladoc) over a keyed hot
+    * relation (block_key, doc_id, r0key, r1key). Returns the recovery rows
+    * (refined sub-blocks ∪ chain rows) and the persisted sub-block-size
+    * relation (for the refined_subblocks_kept counter — caller unpersists).
+    * Pure function of the hot MEMBERSHIP, which is what makes incremental
+    * recomputation over merged membership batch-identical.
+    */
+  private[graft] def hotRecovery(hot: DataFrame, maxBlockSize: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val exploded = keyedDocs(toked, numBands, rowsPerBand, tokenBands).persist()
-    // key-frequency stats → cap, via hash aggregation + ONE equi-join back
-    // (small/hot routed by filter on the joined size): the partial
-    // (map-side) aggregation shrinks the key rows to ~#distinct keys before
-    // the shuffle, the join avoids the full sort a count-over-window would
-    // pay on the exploded rows, and joining once instead of once-per-route
-    // halves the largest shuffle of the stage.
-    val sizes = exploded.groupBy("block_key").agg(count(lit(1)).as("block_size")).persist()
-    // keyed is deliberately NOT persisted: its two consumers (small/hot
-    // routes) re-run the join from the two cached parents, and Spark reuses
-    // the join's shuffle files across the actions — columnar-encoding a
-    // third 14M-row cache costs more (alloc bandwidth at high thread
-    // counts) than the re-join reads
-    val keyed = exploded.join(sizes, "block_key")
-    val small = keyed.where(col("block_size") <= maxBlockSize)
-      .select(col("block_key"), col("doc_id"))
-    val hot = keyed.where(col("block_size") > maxBlockSize)
-      .select(col("block_key"), col("doc_id"),
-        famTag(Family.Refined, xxhash64(col("block_key"), col("refine0"), lit(0))).as("r0key"),
-        famTag(Family.Refined, xxhash64(col("block_key"), col("refine1"), lit(1))).as("r1key"))
     // path 1: refined sub-blocks from BOTH families (OR-recall)
     val refined = hot.select(explode(array(col("r0key"), col("r1key"))).as("block_key"), col("doc_id"))
     val rsizes = refined.groupBy("block_key").agg(count(lit(1)).as("rsize")).persist()
@@ -258,8 +305,55 @@ object Blocking {
       .where(col("prev").isNotNull)
       .select(famTag(Family.Chain, xxhash64(col("block_key"), col("rn"))).as("block_key"),
         explode(array(col("prev"), col("doc_id"))).as("doc_id"))
-    val kept = small.unionByName(refinedKept).unionByName(chainRows).persist()
+    (refinedKept.unionByName(chainRows), rsizes)
+  }
+
+  /** blockTokenized with the optional raw hot-key relation (see
+    * BlockingOutput). `withHotRows = false` adds zero jobs/caches over the
+    * round-4 plan.
+    */
+  def blockTokenizedFull(toked: DataFrame, numBands: Int = 12, rowsPerBand: Int = 4,
+            maxBlockSize: Int = 64, tokenBands: Int = 0,
+            withHotRows: Boolean = false): BlockingOutput =
+    routeKeyed(keyedDocs(toked, numBands, rowsPerBand, tokenBands), maxBlockSize, withHotRows)
+
+  /** The size-routing half of blocking over an ALREADY-KEYED relation
+    * (doc_id, refine0, refine1, block_key): key-frequency census → cap →
+    * small rows pass through, hot keys go through the two recovery paths.
+    * Factored from blockTokenizedFull so the incremental path can re-route
+    * the MERGED (committed ∪ new) raw key table through the exact batch
+    * code — the output is bit-identical to a batch run whose keyedDocs
+    * produced the same relation. Persists its input for the duration.
+    */
+  private[graft] def routeKeyed(keyedIn: DataFrame, maxBlockSize: Int,
+                                withHotRows: Boolean): BlockingOutput = {
+    val exploded = keyedIn.persist()
+    // key-frequency stats → cap, via hash aggregation + ONE equi-join back
+    // (small/hot routed by filter on the joined size): the partial
+    // (map-side) aggregation shrinks the key rows to ~#distinct keys before
+    // the shuffle, the join avoids the full sort a count-over-window would
+    // pay on the exploded rows, and joining once instead of once-per-route
+    // halves the largest shuffle of the stage.
+    val sizes = exploded.groupBy("block_key").agg(count(lit(1)).as("block_size")).persist()
+    // keyed is deliberately NOT persisted: its two consumers (small/hot
+    // routes) re-run the join from the two cached parents, and Spark reuses
+    // the join's shuffle files across the actions — columnar-encoding a
+    // third 14M-row cache costs more (alloc bandwidth at high thread
+    // counts) than the re-join reads
+    val keyed = exploded.join(sizes, "block_key")
+    val small = keyed.where(col("block_size") <= maxBlockSize)
+      .select(col("block_key"), col("doc_id"))
+    val hotBase = keyed.where(col("block_size") > maxBlockSize)
+      .select(col("block_key"), col("doc_id"), col("refine0"), col("refine1"))
+    val hot = hotKeyed(hotBase)
+    val (recovered, rsizes) = hotRecovery(hot, maxBlockSize)
+    val kept = small.unionByName(recovered).persist()
     val blockingRows = kept.count() // materialize before unpersisting parents
+    val hotRows = if (withHotRows) {
+      val h = hotBase.persist()
+      h.count() // materialize off the still-cached parents
+      Some(h)
+    } else None
     val hotStats = sizes.where(col("block_size") > maxBlockSize)
       .agg(count(lit(1)).as("k"), coalesce(sum(col("block_size")), lit(0L)).as("r"))
       .collect()(0)
@@ -267,11 +361,11 @@ object Blocking {
       .agg(coalesce(sum(when(col("rsize") <= maxBlockSize && col("rsize") >= 2, 1L).otherwise(0L)), lit(0L)))
       .collect()(0).getLong(0)
     exploded.unpersist(); sizes.unpersist(); rsizes.unpersist()
-    (kept, Map(
+    BlockingOutput(kept, Map(
       "blocking_rows" -> blockingRows,
       "capped_block_keys" -> hotStats.getLong(0),
       "capped_doc_rows" -> hotStats.getLong(1),
-      "refined_subblocks_kept" -> rKept))
+      "refined_subblocks_kept" -> rKept), hotRows)
   }
 
   /** Candidate pairs: self equi-join of the blocking output on block_key

@@ -105,7 +105,15 @@ object PairScoring {
     * or one materialized cache leaks per pipeline run in a long-lived
     * session (sweep loops, services).
     */
-  final case class Features(feats: DataFrame, mediaTokenCache: Option[DataFrame]) {
+  final case class Features(feats: DataFrame, mediaTokenCache: Option[DataFrame],
+                            /** (mid, df) document frequencies backing the idf
+                              * weights — the relation the pipeline snapshots so
+                              * an increment can merge in new docs' frequencies
+                              * and reproduce batch weights EXACTLY (weight =
+                              * ln(1 + N_total/df_merged)) without rescanning
+                              * committed docs. Recomputes from the media-token
+                              * cache; consume it while that cache is alive. */
+                            dfRel: Option[DataFrame] = None) {
     def release(): Unit = mediaTokenCache.foreach(_.unpersist())
   }
 
@@ -153,16 +161,43 @@ object PairScoring {
     // text payload) and is RETURNED to the caller (Features.release), so
     // a long-lived session does not accumulate one cache per run; at
     // 10^12 docs this is the relation you'd materialize as a table anyway.
-    val mtok0 = base.select(col("doc_id"), explode(col("md")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("mid"),
-        (if (cfg.exclusivePrefix.isEmpty) lit(false)
-         else col("tok").startsWith(cfg.exclusivePrefix)).as("is_x"))
+    val mtok0 = mediaTokenRows(base, cfg.exclusivePrefix)
     val mtok =
       if (persistMedia) mtok0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else mtok0
     // mediaTokens is distinct per doc => count(*) per id == document freq
-    val w = mtok.groupBy("mid").agg(count(lit(1)).as("df"))
-      .select(col("mid"), log1p(lit(nDocs.toDouble) / col("df")).as("w"))
+    val dfRel = mtok.groupBy("mid").agg(count(lit(1)).as("df"))
+    val w = dfRel.select(col("mid"), log1p(lit(nDocs.toDouble) / col("df")).as("w"))
+    val feats = assembleFeatures(base, mtok, w, cfg)
+    Features(feats, if (persistMedia) Some(mtok) else None, Some(dfRel))
+  }
+
+  /** Exploded per-doc media-token rows (doc_id, mid, is_x) — the relation
+    * both the df aggregation and the feature assembly read.
+    */
+  private[graft] def mediaTokenRows(base: DataFrame, exclusivePrefix: String): DataFrame =
+    base.select(col("doc_id"), explode(col("md")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("mid"),
+        (if (exclusivePrefix.isEmpty) lit(false)
+         else col("tok").startsWith(exclusivePrefix)).as("is_x"))
+
+  /** The weight-independent text feature columns (doc_id, txt, tok_ids) —
+    * shared by the batch assembly and the doc_features snapshot builder.
+    */
+  private def textFeatureCols(base: DataFrame, cfg: ScoreConfig): DataFrame =
+    base.select(col("doc_id"),
+      concat_ws(" ", slice(col("toks"), 1, cfg.maxTokens)).as("txt"),
+      transform(slice(col("toks"), 1, cfg.maxTokens), t => xxhash64(t)).as("tok_ids"))
+
+  /** Assemble the hash-encoded feature relation from a tokenized base, its
+    * media-token rows, and a (mid, w) WEIGHT relation. The weight source is
+    * the only thing that differs between a batch run (df self-aggregated
+    * over the corpus) and an increment (committed df merged with the new
+    * docs'), so both paths flow through this one definition — identical
+    * weights in ⇒ bit-identical features and pair scores out.
+    */
+  private[graft] def assembleFeatures(base: DataFrame, mtok: DataFrame, w: DataFrame,
+                                      cfg: ScoreConfig): DataFrame = {
     val media = mtok.join(w, "mid")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("mid"), col("w"), col("is_x")))).as("mw"))
@@ -170,15 +205,54 @@ object PairScoring {
         transform(col("mw"), x => x.getField("mid")).as("m_ids"),
         transform(col("mw"), x => x.getField("w")).as("m_ws"),
         transform(filter(col("mw"), x => x.getField("is_x")), x => x.getField("mid")).as("x_ids"))
-    val feats = base.select(col("doc_id"),
-        concat_ws(" ", slice(col("toks"), 1, cfg.maxTokens)).as("txt"),
-        transform(slice(col("toks"), 1, cfg.maxTokens), t => xxhash64(t)).as("tok_ids"))
+    textFeatureCols(base, cfg)
       .join(media, Seq("doc_id"), "left")
       .select(col("doc_id"), col("txt"), col("tok_ids"),
         coalesce(col("m_ids"), array().cast("array<long>")).as("m_ids"),
         coalesce(col("m_ws"), array().cast("array<double>")).as("m_ws"),
         coalesce(col("x_ids"), array().cast("array<long>")).as("x_ids"))
-    Features(feats, if (persistMedia) Some(mtok) else None)
+  }
+
+  /** The per-doc relation the incremental path snapshots as `doc_features`
+    * (doc_id, txt, tok_ids, m_ids, x_ids): everything scoring needs EXCEPT
+    * the idf weights, which must move with corpus growth and are re-derived
+    * from the media_df snapshot at each increment. All arrays are id-sorted
+    * (mediaTokens is distinct per doc, so sorting by mid alone reproduces
+    * assembleFeatures' struct-sorted order).
+    */
+  private[graft] def storedFeatures(base: DataFrame, mtok: DataFrame,
+                                    cfg: ScoreConfig): DataFrame = {
+    val media = mtok.groupBy("doc_id").agg(
+      sort_array(collect_list(col("mid"))).as("m_ids"),
+      sort_array(collect_list(when(col("is_x"), col("mid")))).as("x_ids"))
+    textFeatureCols(base, cfg)
+      .join(media, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("txt"), col("tok_ids"),
+        coalesce(col("m_ids"), array().cast("array<long>")).as("m_ids"),
+        coalesce(col("x_ids"), array().cast("array<long>")).as("x_ids"))
+  }
+
+  /** Rebuild the full scoring feature relation from a committed
+    * doc_features snapshot and a (mid, w) weight relation — no span decode,
+    * no re-tokenization of committed docs: the only per-token work is
+    * re-attaching weights. Output columns and values are identical to
+    * assembleFeatures under equal weights (IncrementalSpec asserts pair
+    * scores over the two are bit-equal).
+    */
+  private[graft] def featuresFromStored(stored: DataFrame, w: DataFrame): DataFrame = {
+    val media = stored.select(col("doc_id"), explode(col("m_ids")).as("mid"))
+      .join(w, "mid")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("mid"), col("w")))).as("mw"))
+      .select(col("doc_id"),
+        transform(col("mw"), x => x.getField("mid")).as("mm_ids"),
+        transform(col("mw"), x => x.getField("w")).as("mm_ws"))
+    stored.select(col("doc_id"), col("txt"), col("tok_ids"), col("x_ids"))
+      .join(media, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("txt"), col("tok_ids"),
+        coalesce(col("mm_ids"), array().cast("array<long>")).as("m_ids"),
+        coalesce(col("mm_ws"), array().cast("array<double>")).as("m_ws"),
+        col("x_ids"))
   }
 
   /** Weighted Jaccard from aligned (token, weight) arrays; both sides carry

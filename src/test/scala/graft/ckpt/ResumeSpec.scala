@@ -53,8 +53,14 @@ class ResumeSpec extends SparkSpec {
     // lineage rows present for every committed stage
     val lin = Snapshots.lineage(spark, tmp).get
     val stages = lin.select("stage").distinct().collect().map(_.getString(0)).toSet
-    assert(stages == Set("blocking", "scored_pairs", "cluster_assignments"))
+    // block_hot is committed too but this corpus has zero hot keys, so its
+    // snapshot is empty and contributes no per-partition lineage rows
+    assert(stages == Set("blocking", "scored_pairs", "cluster_assignments",
+      "doc_features", "media_df"))
     assert(lin.where("rows_out < 0").isEmpty)
+    // every incremental-base stage has a committed snapshot regardless
+    Seq("block_hot", "doc_features", "media_df").foreach(s =>
+      assert(Snapshots.lastCommitted(tmp, s).isDefined, s"aux stage $s not committed"))
   }
 
   test("snapshotReport: the --snapshot-id surface re-evaluates an older run read-only") {

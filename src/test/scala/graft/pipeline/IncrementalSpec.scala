@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.ckpt.Snapshots
+import graft.eval.Eval
+import graft.operators.Blocking
+import graft.synth.{DocGen, GenConfig}
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental ER (EntityResolution.addDocuments): extending a committed
+  * run must be BATCH-EQUIVALENT where the contract says exact — blocking
+  * rows, candidate pairs, and the scores of newly-created pairs (merged-df
+  * idf == batch idf, bit-equal) — and merge-monotone on clustering, with
+  * every stage landing as a new time-travel snapshot.
+  */
+class IncrementalSpec extends SparkSpec {
+
+  private def keyRows(df: DataFrame): Seq[(Long, String)] =
+    df.select("block_key", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+  private def pairRows(df: DataFrame): Seq[(String, String, Long)] =
+    Blocking.candidatePairs(df).select("doc_id_a", "doc_id_b", "block_key").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+
+  private def asg(df: DataFrame): Seq[(String, String)] =
+    df.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+
+  test("addDocuments: blocking/candidates bit-equal to batch; fresh scores bit-equal; clusters = batch = gold") {
+    import spark.implicits._
+    val cfgA = GenConfig(numEntities = 120, docsPerEntity = 3, seed = 42L)
+    val cfgB = GenConfig(numEntities = 40, docsPerEntity = 3, seed = 314L)
+    val docsA = DocGen.docs(spark, cfgA).toDF().cache()
+    val docsB = DocGen.docs(spark, cfgB).map(d => d.copy(doc_id = "n" + d.doc_id)).toDF().cache()
+    val goldAll = DocGen.gold(spark, cfgA).toDF().unionByName(
+      DocGen.gold(spark, cfgB)
+        .map(g => g.copy(doc_id = "n" + g.doc_id, entity_id = "n" + g.entity_id)).toDF()).cache()
+
+    val tmp = Files.createTempDirectory("graft-incr").toString
+    val base = EntityResolution.run(spark, docsA, runDir = Some(tmp), runId = "base")
+    val baseAssign = asg(base.assignments)
+    base.release()
+
+    // the increment must not leak caches into the session (materialize the
+    // test's own lazy caches first so they don't appear mid-increment)
+    docsB.count(); goldAll.count()
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val inc = EntityResolution.addDocuments(spark, docsB, tmp, runId = "incr")
+    val leaked = spark.sparkContext.getPersistentRDDs -- persistedBefore
+    assert(leaked.isEmpty, s"addDocuments leaked persisted RDDs: ${leaked.keySet}")
+
+    val tmp2 = Files.createTempDirectory("graft-batch").toString
+    val batch = EntityResolution.run(spark, docsA.unionByName(docsB), runDir = Some(tmp2), runId = "full")
+
+    // blocking rows and candidate pairs: exact batch equivalence
+    assert(keyRows(inc.blocking) == keyRows(batch.blocking), "incremental blocking != batch blocking")
+    assert(pairRows(inc.blocking) == pairRows(batch.blocking), "incremental candidates != batch candidates")
+
+    // fresh pairs (absent from the base scored set) must exist and score
+    // BIT-equal to the batch run — merged df/n reproduce batch weights
+    val basePairs = base.scoredPairs.select("doc_id_a", "doc_id_b")
+    val fresh = inc.scoredPairs.join(basePairs, Seq("doc_id_a", "doc_id_b"), "left_anti")
+      .select(col("doc_id_a"), col("doc_id_b"), col("score").as("s_inc"),
+        col("sim_media").as("m_inc"))
+    assert(fresh.count() > 0, "increment produced no fresh pairs")
+    assert(inc.counters("pairs_fresh") > 0)
+    val cmp = fresh.join(
+      batch.scoredPairs.select(col("doc_id_a"), col("doc_id_b"), col("score").as("s_bat"),
+        col("sim_media").as("m_bat")),
+      Seq("doc_id_a", "doc_id_b"), "left")
+    assert(cmp.where(col("s_bat").isNull).isEmpty, "fresh pair missing from batch universe")
+    val drifted = cmp.where(col("s_inc") =!= col("s_bat") || col("m_inc") =!= col("m_bat"))
+    assert(drifted.isEmpty,
+      s"fresh scores differ from batch: ${drifted.limit(5).collect().mkString("; ")}")
+
+    // clustering: gold-exact AND batch-exact on this corpus
+    assert(Eval.clusterEquality(inc.assignments, goldAll), "incremental clusters != gold")
+    assert(asg(inc.assignments) == asg(batch.assignments), "incremental clusters != batch clusters")
+
+    // the run dir is now a time-travel log: snapshot 0 = the base run,
+    // snapshot 1 = the incremented corpus, for every stage
+    assert(Snapshots.snapshots(tmp, "cluster_assignments") == Seq(0L, 1L))
+    assert(Snapshots.snapshots(tmp, EntityResolution.StageMediaDf) == Seq(0L, 1L))
+    assert(asg(Snapshots.loadSnapshot(spark, tmp, "cluster_assignments", 0L)) == baseAssign)
+    assert(Snapshots.counters(tmp, EntityResolution.StageMediaDf, 1L)("n_docs") ==
+      cfgA.numDocs + cfgB.numDocs)
+
+    batch.release(); docsA.unpersist(); docsB.unpersist(); goldAll.unpersist()
+  }
+
+  test("small-to-hot transition: an entity crossing the block-size cap mid-increment stays whole") {
+    // base: 40 docs of a planted entity (all its keys small) + background;
+    // increment: +110 docs of the SAME entity, pushing every key it emits
+    // over the cap — the re-route must recompute refinement + chain
+    // recovery over MERGED membership using only committed refine hashes
+    // (doc_features), creating fresh OLD-OLD pairs without re-reading docs
+    import spark.implicits._
+    val bgCfg = GenConfig(numEntities = 80, docsPerEntity = 3, seed = 7L)
+    val plantedCfg = GenConfig(numEntities = 1, docsPerEntity = 150, seed = 777L)
+    val bg = DocGen.docs(spark, bgCfg).toDF().cache()
+    val planted = DocGen.docs(spark, plantedCfg).map(d => d.copy(doc_id = "p" + d.doc_id)).toDF().cache()
+    val first = planted.where(col("doc_id") < "pd000000000040")
+    val rest = planted.where(col("doc_id") >= "pd000000000040")
+    val goldAll = DocGen.gold(spark, bgCfg).toDF().unionByName(
+      DocGen.gold(spark, plantedCfg)
+        .map(g => g.copy(doc_id = "p" + g.doc_id, entity_id = "p" + g.entity_id)).toDF())
+
+    val tmp = Files.createTempDirectory("graft-incr-hot").toString
+    val base = EntityResolution.run(spark, bg.unionByName(first), runDir = Some(tmp), runId = "base")
+    base.release()
+    val inc = EntityResolution.addDocuments(spark, rest, tmp, runId = "incr")
+    assert(inc.counters("capped_block_keys") > 0, "increment must drive keys over the cap")
+
+    // the universe was genuinely recomputed: the hot transition REPLACES
+    // the planted entity's all-pairs (C(40,2) at base) with sub-quadratic
+    // refinement + chain pairs, so some committed old-old pairs drop out of
+    // the merged universe (connectivity, not all-pairs — the block-cap
+    // contract), while fresh new↔old pairs appear
+    val basePairs = base.scoredPairs.select("doc_id_a", "doc_id_b")
+    val droppedOldOld = basePairs.join(
+      inc.scoredPairs.select("doc_id_a", "doc_id_b"), Seq("doc_id_a", "doc_id_b"), "left_anti")
+      .where(col("doc_id_a").startsWith("p") && col("doc_id_b").startsWith("p"))
+    assert(droppedOldOld.count() > 0, "hot transition left the quadratic all-pairs universe intact")
+    assert(inc.counters("pairs_fresh") > 0)
+
+    val batch = EntityResolution.run(spark, bg.unionByName(planted))
+    assert(keyRows(inc.blocking) == keyRows(batch.blocking),
+      "incremental blocking != batch blocking across the small-to-hot transition")
+
+    val plantedClusters = inc.assignments.where(col("doc_id").startsWith("p"))
+      .select("cluster_id").distinct().count()
+    assert(plantedClusters == 1, s"planted entity split into $plantedClusters clusters")
+    assert(Eval.clusterEquality(inc.assignments, goldAll), "incremental clusters != gold")
+
+    batch.release(); bg.unpersist(); planted.unpersist()
+  }
+
+  test("addDocuments fails loud on a non-incremental base and on duplicate doc_ids") {
+    val cfg = GenConfig(numEntities = 20, docsPerEntity = 3, seed = 3L)
+    val docs = DocGen.docs(spark, cfg).toDF()
+    // no committed run at all
+    val empty = Files.createTempDirectory("graft-incr-none").toString
+    val e1 = intercept[RuntimeException](EntityResolution.addDocuments(spark, docs, empty))
+    assert(e1.getMessage.contains("no committed"))
+    // duplicate doc ids
+    val tmp = Files.createTempDirectory("graft-incr-dup").toString
+    EntityResolution.run(spark, docs, runDir = Some(tmp)).release()
+    val e2 = intercept[IllegalArgumentException](EntityResolution.addDocuments(spark, docs, tmp))
+    assert(e2.getMessage.contains("disjoint"))
+  }
+}
