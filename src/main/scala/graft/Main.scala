@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Main [--entities N] [--docs-per-entity D] [--seed S]
   *              [--run-dir DIR] [--resume] [--threads T] [--no-eval]
   *              [--snapshot-id K] [--sweep]
+  *              [--add-entities N] [--add-seed S]
   *
   * Synthesizes the deterministic docs corpus (BASELINE.json input_hint
   * shape), runs blocking → scoring → clustering (checkpointed to
@@ -23,8 +24,51 @@ import org.apache.spark.sql.SparkSession
   * run; re-evaluates the cluster_assignments snapshot K read-only
   * (rows, clusters, and — unless --no-eval — cluster equality vs the
   * gold regenerated from the same --entities/--docs-per-entity/--seed).
+  *
+  * `--add-entities N` (with --run-dir): INCREMENTAL run — no full
+  * pipeline; extends the committed base run with N new entities (seed
+  * `--add-seed`, default base seed + 1000; doc/entity ids prefixed "n"
+  * so increments are disjoint by construction) via
+  * [[EntityResolution.addDocuments]], committing a new snapshot of every
+  * stage. The base corpus flags must repeat the base run's values —
+  * eval regenerates the base gold from them and unions the increment's.
   */
 object Main {
+
+  /** Runnable surface over [[EntityResolution.addDocuments]]: generate
+    * the increment corpus, extend the committed run at `dir`, evaluate
+    * against the COMBINED gold (base ∪ prefixed increment). Returns the
+    * JSON metrics line.
+    */
+  def incrementRun(spark: SparkSession, dir: String, baseCfg: GenConfig,
+                   addCfg: GenConfig, doEval: Boolean): String = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val newDocs = DocGen.docs(spark, addCfg).map(d => d.copy(doc_id = "n" + d.doc_id))
+      .toDF().cache()
+    val nNew = newDocs.count()
+    val res = EntityResolution.addDocuments(spark, newDocs, dir)
+    val nClusters = res.assignments.select("cluster_id").distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val evalJson = if (doEval) {
+      val gold = DocGen.gold(spark, baseCfg).toDF().unionByName(
+        DocGen.gold(spark, addCfg)
+          .map(g => g.copy(doc_id = "n" + g.doc_id, entity_id = "n" + g.entity_id)).toDF())
+      val labeled = EntityResolution.labeledPairs(res.blocking, gold)
+      val m = Eval.pairwiseF1(res.assignments, labeled)
+      val eq = Eval.clusterEquality(res.assignments, gold)
+      val (gpTotal, gpBlocked, gpMissed) = Eval.blockingTail(labeled, gold)
+      s""","f1":${m.f1},"precision":${m.precision},"recall":${m.recall},""" +
+        s""""cluster_equality":$eq,"gold_pairs_total":$gpTotal,""" +
+        s""""gold_pairs_blocked":$gpBlocked,"gold_pairs_missed":$gpMissed"""
+    } else ""
+    newDocs.unpersist()
+    val counters = res.counters.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    s"""{"docs_added":$nNew,"docs_total":${res.counters("docs_total")},""" +
+      s""""clusters":$nClusters,"cc_iterations":${res.ccIterations},""" +
+      s""""seconds":$secs,"added_docs_per_sec":${nNew / secs},"counters":$counters$evalJson}"""
+  }
 
   /** Read-only re-evaluation of an older cluster_assignments snapshot
     * (the runnable time-travel surface over Snapshots.loadSnapshot).
@@ -73,6 +117,17 @@ object Main {
       val dir = runDir.getOrElse(
         sys.error("--snapshot-id requires --run-dir (the snapshot log to read)"))
       println(snapshotReport(spark, dir, snapOpt.get.toLong, cfg, doEval))
+      spark.stop()
+      return
+    }
+
+    val addOpt = opts.get("--add-entities")
+    if (addOpt.isDefined) {
+      val dir = runDir.getOrElse(
+        sys.error("--add-entities requires --run-dir (the committed base run to extend)"))
+      val addCfg = cfg.copy(numEntities = addOpt.get.toInt,
+        seed = opts.getOrElse("--add-seed", (cfg.seed + 1000).toString).toLong)
+      println(incrementRun(spark, dir, cfg, addCfg, doEval))
       spark.stop()
       return
     }

@@ -138,6 +138,21 @@ class IncrementalSpec extends SparkSpec {
     batch.release(); bg.unpersist(); planted.unpersist()
   }
 
+  test("Main --add-entities surface: increments a committed run and reports combined-gold metrics") {
+    val baseCfg = GenConfig(numEntities = 30, docsPerEntity = 3, seed = 11L)
+    val addCfg = baseCfg.copy(numEntities = 10, seed = 1011L)
+    val tmp = Files.createTempDirectory("graft-incr-cli").toString
+    EntityResolution.run(spark, DocGen.docs(spark, baseCfg).toDF(),
+      runDir = Some(tmp), runId = "base").release()
+    val json = graft.Main.incrementRun(spark, tmp, baseCfg, addCfg, doEval = true)
+    assert(json.contains(""""docs_added":30"""), json)
+    assert(json.contains(""""docs_total":120"""), json)
+    assert(json.contains(""""f1":1.0"""), json)
+    assert(json.contains(""""cluster_equality":true"""), json)
+    // the increment committed a second snapshot of every stage
+    assert(Snapshots.snapshots(tmp, "cluster_assignments") == Seq(0L, 1L))
+  }
+
   test("addDocuments fails loud on a non-incremental base and on duplicate doc_ids") {
     val cfg = GenConfig(numEntities = 20, docsPerEntity = 3, seed = 3L)
     val docs = DocGen.docs(spark, cfg).toDF()
