@@ -40,7 +40,9 @@ import org.apache.spark.sql.SparkSession
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
   * (default 32), SPARK_GRAFT_BENCH_ENTITIES × SPARK_GRAFT_BENCH_DPE (ER
   * corpus size, default 200000 × 3 docs), SPARK_GRAFT_SCALE_N,
-  * SPARK_GRAFT_SCALE_REPS[_N], SPARK_GRAFT_SKIP_SCALING / _SKIP_QUERIES.
+  * SPARK_GRAFT_SCALE_REPS[_N], SPARK_GRAFT_SKIP_SCALING / _SKIP_QUERIES /
+  * _SKIP_INCR (the +10% addDocuments-vs-batch-rerun comparison rides with
+  * the scaling section unless skipped).
   */
 object Bench {
 
@@ -281,7 +283,72 @@ object Bench {
         s""""er_legs":[${legs.map(l => l.json(est.vetoed((l.threads, l.rep)))).mkString(",")}]}"""
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"observed":$os,"sf":"$sfDir"$ivfRecall$scaling}""")
+    // 3) incremental ER: extend a COMMITTED base run with +10% new docs
+    //    via addDocuments and compare against the full batch re-run over
+    //    the union — the operation a standing deployment performs per
+    //    arrival batch (the speedup is what makes increments worth their
+    //    snapshot storage). Corpora are pre-written parquet (fixture
+    //    generation untimed, same rule as the scaling legs); the batch
+    //    base runs FIRST in the shared session, so codegen/JIT warm-up
+    //    biases AGAINST the increment, never for it.
+    val incr = if (sys.env.getOrElse("SPARK_GRAFT_SKIP_INCR", "0") == "1") ""
+    else {
+      val dpe = sys.env.getOrElse("SPARK_GRAFT_BENCH_DPE", "3").toInt
+      val baseCfg = GenConfig(numEntities = entities, docsPerEntity = dpe, seed = 42L)
+      val addCfg = baseCfg.copy(numEntities = math.max(entities / 10, 1), seed = 1042L)
+      val baseDir = s"$localDir-incr-base"
+      val addDir = s"$localDir-incr-add"
+      val runDirI = s"$localDir-incr-run"
+      val spark = session(cpus)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
+      try {
+        import spark.implicits._
+        DocGen.docs(spark, baseCfg).toDF().write.mode("overwrite").parquet(baseDir)
+        DocGen.docs(spark, addCfg).map(d => d.copy(doc_id = "n" + d.doc_id)).toDF()
+          .write.mode("overwrite").parquet(addDir)
+        val t0 = System.nanoTime()
+        val base = EntityResolution.run(spark, spark.read.parquet(baseDir),
+          runDir = Some(runDirI), runId = "bench-base")
+        val nBase = base.assignments.count()
+        base.release()
+        val tBase = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val inc = EntityResolution.addDocuments(spark, spark.read.parquet(addDir), runDirI,
+          runId = "bench-incr")
+        val nTotal = inc.assignments.count()
+        val tIncr = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        // the union re-run ALSO commits to a run dir: the alternative a
+        // standing deployment actually has is "re-run batch AND commit the
+        // outputs it serves", so both sides pay the same snapshot writes
+        val union = EntityResolution.run(spark,
+          spark.read.parquet(baseDir).unionByName(spark.read.parquet(addDir)),
+          runDir = Some(s"$localDir-incr-union"), runId = "bench-union")
+        val nUnion = union.assignments.count()
+        union.release()
+        val tUnion = (System.nanoTime() - t2) / 1e9
+        // correctness guard rides in the artifact (untimed): pairwise F1 of
+        // the INCREMENTED assignments against the combined gold
+        val gold = DocGen.gold(spark, baseCfg).toDF().unionByName(
+          DocGen.gold(spark, addCfg)
+            .map(g => g.copy(doc_id = "n" + g.doc_id, entity_id = "n" + g.entity_id)).toDF())
+        val m = graft.eval.Eval.pairwiseF1(inc.assignments,
+          EntityResolution.labeledPairs(inc.blocking, gold))
+        val nAdd = nTotal - nBase
+        f""","er_increment":{"docs_base":$nBase,"docs_added":$nAdd,"docs_union":$nUnion,""" +
+          f""""batch_base_sec":$tBase%.3f,"incr_sec":$tIncr%.3f,"batch_union_sec":$tUnion%.3f,""" +
+          f""""incr_speedup_vs_rerun":${tUnion / tIncr}%.3f,""" +
+          f""""added_docs_per_sec":${nAdd / tIncr}%.1f,"f1_incremental":${m.f1}%.6f,""" +
+          f""""pairs_fresh":${inc.counters.getOrElse("pairs_fresh", -1L)}}"""
+      } finally {
+        spark.stop()
+        import scala.reflect.io.Directory
+        Seq(baseDir, addDir, runDirI, s"$localDir-incr-union").foreach(d =>
+          new Directory(new java.io.File(d)).deleteRecursively())
+      }
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"observed":$os,"sf":"$sfDir"$ivfRecall$scaling$incr}""")
     // tmpfs shuffle dir is shared RAM — never leave OUR dir populated
     // (other processes' dirs are theirs to clean)
     import scala.reflect.io.Directory

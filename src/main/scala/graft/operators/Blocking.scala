@@ -368,6 +368,18 @@ object Blocking {
       "refined_subblocks_kept" -> rKept), hotRows)
   }
 
+  /** Per-block unordered pairs WITHOUT the global per-pair dedup of
+    * [[candidatePairs]]: one row per (pair, justifying block). The
+    * incremental path diffs these against a replaced block set to maintain
+    * the candidate-pair universe exactly (canonical block = min key, so
+    * the global dedup is recoverable from per-block contributions).
+    */
+  private[graft] def blockPairs(rows: DataFrame): DataFrame = {
+    val a = rows.select(col("block_key"), col("doc_id").as("doc_id_a"))
+    val b = rows.select(col("block_key"), col("doc_id").as("doc_id_b"))
+    a.join(b, "block_key").where(col("doc_id_a") < col("doc_id_b"))
+  }
+
   /** Candidate pairs: self equi-join of the blocking output on block_key
     * with doc_id_a < doc_id_b, deduplicated across key families by keeping
     * the MIN block_key per pair (deterministic representative).

@@ -259,12 +259,25 @@ object EntityResolution {
     *    batch run is the compaction that re-derives everything from
     *    current weights.
     *
-    * Scale shape: new-doc tokenization/minhash/scoring is O(|new|); the
-    * committed corpus is touched only through (a) the key-table re-route
-    * (shuffles over compact long/string rows, no span decode), (b) the
-    * candidate self-join, and (c) one weight re-attachment pass over the
-    * stored feature table — no O(committed) span decode, minhash, or
-    * pair scoring anywhere.
+    * Scale shape: ALL shuffle/compute is O(|new| + |touched blocks| +
+    * |affected pairs| + |active components|) —
+    *  - only block keys the new docs emit are re-routed (merged membership
+    *    through the batch [[Blocking.routeKeyed]]); every other committed
+    *    blocking row, including derived recovery rows of untouched hot
+    *    parents, carries forward behind a broadcast anti-join;
+    *  - the candidate-pair universe is maintained exactly from the
+    *    replaced blocks' per-block pair contributions (canonical block =
+    *    min key): doubtful pairs (canonical replaced) probe the untouched
+    *    keys of only their own docs for the surviving minimum;
+    *  - idf weight re-attachment and scoring run only over docs/pairs new
+    *    to the universe;
+    *  - CC runs only over components adjacent to a fresh ≥-threshold edge
+    *    (a component with no fresh edge is its own fixpoint and keeps its
+    *    committed assignment).
+    * The remaining O(committed) cost is sequential parquet scan + rewrite
+    * of carried-forward rows into the new snapshots (no shuffle); a
+    * file-reuse/delta snapshot format is the storage-level upgrade path
+    * if that write matters at the target scale.
     *
     * Requires the base run to have been committed by a checkpointed run()
     * of this build (which writes block_hot/doc_features/media_df); fails
@@ -289,33 +302,159 @@ object EntityResolution {
     val nOld = Snapshots.lastCounters(runDir, StageMediaDf).getOrElse("n_docs",
       sys.error(s"addDocuments: $StageMediaDf manifest lacks the n_docs counter"))
 
+    // coarse phase walls on stderr (same style as erRun diagnostics)
+    var tickNs = System.nanoTime()
+    def tick(phase: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[addDocuments] $phase%-14s ${(now - tickNs) / 1e9}%.1f s")
+      tickNs = now
+    }
+
     val toked = Blocking.tokenized(newDocs).persist(MEMORY_AND_DISK)
     val nNew = toked.count()
     val dups = toked.select("doc_id").join(oldFeatures.select("doc_id"), "doc_id").count()
     require(dups == 0,
       s"addDocuments: $dups new doc_ids already exist in the committed corpus (increments must be disjoint)")
+    tick("tokenize+dup")
 
-    // ---- blocking: reconstruct the committed raw key table (no content
-    // re-read) and re-route it MERGED with the new docs' keys through the
-    // batch code path
-    val oldKeyed = oldBlocking.where(Blocking.isRawKey(col("block_key")))
-      .select(col("block_key"), col("doc_id"))
-      .unionByName(oldHot.select(col("block_key"), col("doc_id")))
-      .join(oldFeatures.select(col("doc_id"), col("refine0"), col("refine1")), "doc_id")
-      .select(col("doc_id"), col("refine0"), col("refine1"), col("block_key"))
-    val newKeyed = Blocking.keyedDocs(toked, cfg.numBands, cfg.rowsPerBand, cfg.tokenBands)
-    val route = Blocking.routeKeyed(oldKeyed.unionByName(newKeyed), cfg.maxBlockSize,
-      withHotRows = true)
-    val cBlock = Snapshots.commit(spark, route.rows, runDir, "blocking", runId, route.counters)
-    route.hotRows.foreach { h =>
-      Snapshots.commit(spark, h.select(col("block_key"), col("doc_id")), runDir, StageBlockHot,
-        runId, Map("hot_rows" -> h.count()))
-      h.unpersist()
+    // Broadcast a small relation explicitly where AQE cannot see its size
+    // (post-aggregation subtrees feeding anti-joins / semi-filters);
+    // falls back to a plain shuffle join beyond 4M rows (the same bound as
+    // the CC decode dictionary). Caller must have persisted `df`.
+    def gated(df: DataFrame): DataFrame =
+      if (df.count() <= 4000000L) broadcast(df) else df
+
+    // The increment derives MANY small relations from each other (routes,
+    // per-block pair diffs, probes); left as plain plans their logical
+    // trees nest multiplicatively and per-action plan stringification
+    // alone becomes the bottleneck (heap-exhausting at depth). Every
+    // touched-sized hub is therefore EAGERLY localCheckpointed — the plan
+    // truncates to the materialized rows — and the pinned RDDs are freed
+    // before returning (same LogicalRDD-id tracking as the CC loop).
+    val pinnedIds = scala.collection.mutable.Set.empty[Int]
+    def pin(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      pinnedIds ++= ck.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id }
+      ck
     }
-    route.rows.unpersist() // durable now
-    val blocking = spark.read.parquet(cBlock.path)
 
-    // ---- features: merged document frequencies → EXACT batch idf weights
+    // ---- blocking: only keys the new docs EMIT can change membership, so
+    // only those are re-routed (merged committed membership + new rows
+    // through the batch routeKeyed); every other committed row — including
+    // every derived recovery row of an UNTOUCHED hot parent — carries
+    // forward behind a broadcast anti-join, no O(committed) shuffle. The
+    // rows the touched blocks contributed to the committed table are
+    // recomputed bit-exactly (derived rows are a pure function of the
+    // block_hot membership) so the anti-join removes exactly them.
+    val refineRel = oldFeatures.select(col("doc_id"), col("refine0"), col("refine1"))
+    val newKeyed = pin(Blocking.keyedDocs(toked, cfg.numBands, cfg.rowsPerBand, cfg.tokenBands))
+    val touched = pin(newKeyed.select("block_key").distinct())
+    val touchedB = gated(touched)
+    val oldSmallTouched = oldBlocking.where(Blocking.isRawKey(col("block_key")))
+      .select(col("block_key"), col("doc_id")).join(touchedB, "block_key")
+    val oldHotTouched = pin(oldHot.select(col("block_key"), col("doc_id"))
+      .join(touchedB, "block_key"))
+    val oldTouched = oldSmallTouched.unionByName(oldHotTouched)
+      .join(refineRel, "doc_id")
+      .select(col("doc_id"), col("refine0"), col("refine1"), col("block_key"))
+    val route = Blocking.routeKeyed(oldTouched.unionByName(newKeyed), cfg.maxBlockSize,
+      withHotRows = true)
+    val routeRows = pin(route.rows)
+    route.rows.unpersist()
+    val routeHot = pin(route.hotRows.get)
+    route.hotRows.get.unpersist()
+
+    val (oldDerived0, oldRsizes) = Blocking.hotRecovery(
+      Blocking.hotKeyed(oldHotTouched.join(refineRel, "doc_id")
+        .select(col("block_key"), col("doc_id"), col("refine0"), col("refine1"))),
+      cfg.maxBlockSize)
+    val oldDerivedTouched = pin(oldDerived0)
+    oldDerived0.unpersist() // hotRecovery persists its rsizes, not this; drop any cache anyway
+    val oldKeptTouched = oldRsizes
+      .agg(coalesce(sum(when(col("rsize") <= cfg.maxBlockSize && col("rsize") >= 2, 1L)
+        .otherwise(0L)), lit(0L))).collect()(0).getLong(0)
+    val cappedTouchedOldKeys = oldHotTouched.select("block_key").distinct().count()
+    val cappedTouchedOldRows = oldHotTouched.count()
+    oldRsizes.unpersist()
+
+    // exact multiset of committed rows the re-route replaces
+    val removedRows = pin(oldSmallTouched.select(col("block_key"), col("doc_id"))
+      .unionByName(oldDerivedTouched))
+    val removedRowsB = gated(removedRows)
+    val keptOld = oldBlocking.join(removedRowsB, Seq("block_key", "doc_id"), "left_anti")
+    val baseBlockC = Snapshots.lastCounters(runDir, "blocking")
+    def baseC(k: String): Long = baseBlockC.getOrElse(k, sys.error(
+      s"addDocuments: committed blocking manifest lacks counter '$k'"))
+    val blockCounters = Map(
+      "blocking_rows" -> (baseC("blocking_rows") - removedRows.count()
+        + route.counters("blocking_rows")),
+      "capped_block_keys" -> (baseC("capped_block_keys") - cappedTouchedOldKeys
+        + route.counters("capped_block_keys")),
+      "capped_doc_rows" -> (baseC("capped_doc_rows") - cappedTouchedOldRows
+        + route.counters("capped_doc_rows")),
+      "refined_subblocks_kept" -> (baseC("refined_subblocks_kept") - oldKeptTouched
+        + route.counters("refined_subblocks_kept")))
+    val cBlock = Snapshots.commit(spark, keptOld.unionByName(routeRows), runDir, "blocking",
+      runId, blockCounters)
+    // block_hot stays the FULL raw hot membership (the next increment's
+    // base): untouched hot keys carry forward, touched keys' hot status is
+    // whatever the merged re-route decided
+    val newHotRows = oldHot.select(col("block_key"), col("doc_id"))
+      .join(touchedB, Seq("block_key"), "left_anti")
+      .unionByName(routeHot.select(col("block_key"), col("doc_id")))
+    val baseHotRows = Snapshots.lastCounters(runDir, StageBlockHot).getOrElse("hot_rows", 0L)
+    Snapshots.commit(spark, newHotRows, runDir, StageBlockHot, runId,
+      Map("hot_rows" -> (baseHotRows - cappedTouchedOldRows + routeHot.count())))
+    val blocking = spark.read.parquet(cBlock.path)
+    tick("blocking")
+
+    // ---- candidate-pair universe, maintained EXACTLY from the replaced
+    // blocks' per-block pair contributions (canonical block = min key):
+    //  - pairs in no replaced block carry forward untouched;
+    //  - a pair whose canonical block survives re-derives its canonical as
+    //    least(committed, min over re-routed blocks) — untouched blocks
+    //    cannot beat a surviving committed minimum;
+    //  - a pair whose canonical block was replaced ("doubtful") probes the
+    //    untouched keys of ONLY its two docs for the surviving minimum and
+    //    drops out of the universe when nothing justifies it anymore.
+    val minAfter = pin(Blocking.blockPairs(routeRows)
+      .groupBy("doc_id_a", "doc_id_b").agg(min(col("block_key")).as("min_after")))
+    val affected = pin(Blocking.blockPairs(removedRows).select("doc_id_a", "doc_id_b")
+      .unionByName(minAfter.select("doc_id_a", "doc_id_b")).distinct())
+    val affectedB = gated(affected)
+    val unaffectedOld = oldScored.join(affectedB, Seq("doc_id_a", "doc_id_b"), "left_anti")
+    val affectedOld = pin(oldScored.join(affectedB, Seq("doc_id_a", "doc_id_b")))
+    val removalKeys = pin(touched.select("block_key")
+      .unionByName(oldDerivedTouched.select("block_key")).distinct())
+    val flagged = affectedOld.join(
+      gated(removalKeys).withColumn("stale", lit(true)), Seq("block_key"), "left")
+    val okOld = flagged.where(col("stale").isNull).drop("stale")
+      .join(minAfter, Seq("doc_id_a", "doc_id_b"), "left")
+      .withColumn("block_key", least(col("block_key"), col("min_after")))
+      .drop("min_after")
+    val doubtful = pin(flagged.where(col("stale")).drop("stale"))
+    val dDocs = pin(doubtful.select(col("doc_id_a").as("doc_id"))
+      .unionByName(doubtful.select(col("doc_id_b").as("doc_id"))).distinct())
+    val rowsD = pin(keptOld.join(gated(dDocs), "doc_id"))
+    val untMin = doubtful.select("doc_id_a", "doc_id_b")
+      .join(rowsD.select(col("doc_id").as("doc_id_a"), col("block_key")), "doc_id_a")
+      .join(rowsD.select(col("doc_id").as("doc_id_b"), col("block_key")),
+        Seq("doc_id_b", "block_key"))
+      .groupBy("doc_id_a", "doc_id_b").agg(min(col("block_key")).as("unt_min"))
+    val doubtfulRes = doubtful.drop("block_key")
+      .join(minAfter, Seq("doc_id_a", "doc_id_b"), "left")
+      .join(untMin, Seq("doc_id_a", "doc_id_b"), "left")
+      .withColumn("block_key", least(col("min_after"), col("unt_min")))
+      .where(col("block_key").isNotNull)
+      .drop("min_after", "unt_min")
+    val fresh = pin(minAfter
+      .join(oldScored.select("doc_id_a", "doc_id_b"), Seq("doc_id_a", "doc_id_b"), "left_anti")
+      .withColumnRenamed("min_after", "block_key"))
+    tick("pairs")
+
+    // ---- features: merged document frequencies give EXACT batch idf
+    // weights; weight re-attachment runs ONLY over docs in fresh pairs
     val nTotal = nOld + nNew
     val mtokNew = PairScoring.mediaTokenRows(toked, cfg.scoring.exclusivePrefix)
       .persist(MEMORY_AND_DISK)
@@ -333,56 +472,62 @@ object EntityResolution {
       .select("doc_id", "refine0", "refine1", "txt", "tok_ids", "m_ids", "x_ids")
     val cFeat = Snapshots.commit(spark, oldFeatures.unionByName(newStored), runDir,
       StageDocFeatures, runId, Map("n_docs" -> nTotal))
-    // ONE weight re-attachment pass over the merged stored features serves
-    // BOTH sides of the candidate join (hence the persist)
-    val featsAll = PairScoring.featuresFromStored(spark.read.parquet(cFeat.path), w)
-      .persist(MEMORY_AND_DISK)
+    val docsNeeded = pin(fresh.select(col("doc_id_a").as("doc_id"))
+      .unionByName(fresh.select(col("doc_id_b").as("doc_id"))).distinct())
+    val featsNeeded = pin(PairScoring.featuresFromStored(
+      spark.read.parquet(cFeat.path).join(gated(docsNeeded), "doc_id"), w))
+    tick("features")
 
     // ---- scoring: committed pairs keep their committed channels; only
     // pairs NEW to the universe are scored
-    val cand = Blocking.candidatePairs(blocking)
-    val oldCh = oldScored.select(col("doc_id_a"), col("doc_id_b"),
-      struct(col("sim_text"), col("sim_media"), col("sim_align"), col("score"),
-        col("media_usable"), col("vetoed")).as("old_ch"))
-    val withOld = cand.join(oldCh, Seq("doc_id_a", "doc_id_b"), "left").persist(MEMORY_AND_DISK)
-    val reused = withOld.where(col("old_ch").isNotNull)
-      .select(col("doc_id_a"), col("doc_id_b"), col("block_key"),
-        col("old_ch.sim_text").as("sim_text"), col("old_ch.sim_media").as("sim_media"),
-        col("old_ch.sim_align").as("sim_align"), col("old_ch.score").as("score"),
-        col("old_ch.media_usable").as("media_usable"), col("old_ch.vetoed").as("vetoed"))
-    val freshCand = withOld.where(col("old_ch").isNull)
-      .select(col("doc_id_a"), col("doc_id_b"), col("block_key"))
-    val scoredFresh = PairScoring.scoreFeatures(spark, featsAll, freshCand, cfg.scoring)
-      .toDF().persist(MEMORY_AND_DISK)
+    val scoredFresh = pin(PairScoring.scoreFeatures(spark, featsNeeded, fresh, cfg.scoring)
+      .toDF())
     val nFresh = scoredFresh.count()
+    val reused = unaffectedOld.unionByName(okOld).unionByName(doubtfulRes)
     val cScore = Snapshots.commit(spark, reused.unionByName(scoredFresh), runDir,
       "scored_pairs", runId, Map("docs_scored_against" -> nTotal, "pairs_fresh" -> nFresh))
     val scored = spark.read.parquet(cScore.path)
+    tick("scoring")
 
-    // ---- clustering: committed components enter as star edges (already at
-    // fixpoint form — one edge per non-singleton doc), so only components
-    // touched by fresh edges do real work; committed ≥-threshold pairs are
-    // covered by their component's star and are NOT re-shuffled
-    val starEdges = oldAssign.where(col("doc_id") =!= col("cluster_id"))
+    // ---- clustering: only components ADJACENT to a fresh >= threshold
+    // edge (plus all new docs) enter the CC loop — their committed merges
+    // ride in as star edges (merge-monotone); every other doc keeps its
+    // committed assignment behind a broadcast anti-join. Identical to
+    // running CC over (all stars + fresh edges): a component with no fresh
+    // edge reproduces itself (its star IS its fixpoint, cluster_id = min
+    // doc_id), so excluding it changes nothing.
+    val freshEdges = pin(scoredFresh.where(col("score") >= cfg.scoreThreshold)
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst")))
+    val endpoints = pin(freshEdges.select(col("src").as("doc_id"))
+      .unionByName(freshEdges.select(col("dst").as("doc_id"))).distinct())
+    val activeCl = pin(oldAssign.join(gated(endpoints), "doc_id")
+      .select("cluster_id").distinct())
+    val activeClB = gated(activeCl)
+    val activeOld = pin(oldAssign.join(activeClB, "cluster_id"))
+    val starActive = activeOld.where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("src"), col("cluster_id").as("dst"))
-    val freshEdges = scoredFresh.where(col("score") >= cfg.scoreThreshold)
-      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-    val allIds = oldAssign.select(col("doc_id")).unionByName(toked.select(col("doc_id")))
-    val cc = ConnectedComponents.assignAllTracked(spark, allIds,
-      freshEdges.unionByName(starEdges), cfg.maxCcIter, pairsPreDeduped = false)
-    val cAssign = Snapshots.commit(spark, cc.assignments, runDir, "cluster_assignments",
-      runId, Map("cc_iterations" -> cc.iterations.toLong))
+    val inactive = oldAssign.join(activeClB, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    val ccNodes = activeOld.select(col("doc_id")).unionByName(toked.select(col("doc_id")))
+    val cc = ConnectedComponents.assignAllTracked(spark, ccNodes,
+      freshEdges.unionByName(starActive), cfg.maxCcIter, pairsPreDeduped = false)
+    val cAssign = Snapshots.commit(spark, inactive.unionByName(cc.assignments), runDir,
+      "cluster_assignments", runId, Map("cc_iterations" -> cc.iterations.toLong))
     cc.releaseCheckpoints(spark)
     val assignments = spark.read.parquet(cAssign.path)
+    tick("clustering")
 
     // every cache this increment materialized is released — the returned
     // relations all read committed parquet
-    toked.unpersist(); mtokNew.unpersist(); featsAll.unpersist()
-    withOld.unpersist(); scoredFresh.unpersist()
+    val pairsAffected = affected.count()
+    toked.unpersist(); mtokNew.unpersist()
+    pinnedIds.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
     Result(assignments, scored, blocking, cc.iterations,
-      route.counters ++ Map("docs_added" -> nNew, "docs_total" -> nTotal,
-        "pairs_fresh" -> nFresh, "cc_iterations" -> cc.iterations.toLong))
+      blockCounters ++ Map("docs_added" -> nNew, "docs_total" -> nTotal,
+        "pairs_fresh" -> nFresh, "pairs_affected" -> pairsAffected,
+        "cc_iterations" -> cc.iterations.toLong))
   }
 
   /** Derive labeled pairs at shared blocking keys (FIXTURES.md §2):

@@ -138,6 +138,39 @@ class IncrementalSpec extends SparkSpec {
     batch.release(); bg.unpersist(); planted.unpersist()
   }
 
+  test("chained increments: two successive addDocuments equal one batch run, counters maintained") {
+    import spark.implicits._
+    val cfgA = GenConfig(numEntities = 100, docsPerEntity = 3, seed = 5L)
+    val cfgB = GenConfig(numEntities = 30, docsPerEntity = 3, seed = 55L)
+    val cfgC = GenConfig(numEntities = 30, docsPerEntity = 3, seed = 555L)
+    val docsA = DocGen.docs(spark, cfgA).toDF()
+    val docsB = DocGen.docs(spark, cfgB).map(d => d.copy(doc_id = "n" + d.doc_id)).toDF()
+    val docsC = DocGen.docs(spark, cfgC).map(d => d.copy(doc_id = "m" + d.doc_id)).toDF()
+    val tmp = Files.createTempDirectory("graft-incr-chain").toString
+    EntityResolution.run(spark, docsA, runDir = Some(tmp), runId = "base").release()
+    EntityResolution.addDocuments(spark, docsB, tmp, runId = "i1")
+    val inc2 = EntityResolution.addDocuments(spark, docsC, tmp, runId = "i2")
+    val batch = EntityResolution.run(spark, docsA.unionByName(docsB).unionByName(docsC))
+    assert(keyRows(inc2.blocking) == keyRows(batch.blocking),
+      "chained incremental blocking != batch blocking")
+    assert(pairRows(inc2.blocking) == pairRows(batch.blocking),
+      "chained incremental candidates != batch candidates")
+    // the incrementally-MAINTAINED global counters equal the batch run's
+    // recomputed ones (the merge arithmetic over touched keys is exact)
+    Seq("blocking_rows", "capped_block_keys", "capped_doc_rows", "refined_subblocks_kept")
+      .foreach(k => assert(inc2.counters(k) == batch.counters(k),
+        s"counter $k drifted: inc=${inc2.counters(k)} batch=${batch.counters(k)}"))
+    // scored pair universe AND canonical (min) block keys equal batch
+    def pairsOf(df: DataFrame): Seq[(String, String, Long)] =
+      df.select("doc_id_a", "doc_id_b", "block_key").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(pairsOf(inc2.scoredPairs) == pairsOf(batch.scoredPairs),
+      "scored pair universe / canonical blocks != batch")
+    assert(asg(inc2.assignments) == asg(batch.assignments),
+      "chained incremental clusters != batch clusters")
+    batch.release()
+  }
+
   test("Main --add-entities surface: increments a committed run and reports combined-gold metrics") {
     val baseCfg = GenConfig(numEntities = 30, docsPerEntity = 3, seed = 11L)
     val addCfg = baseCfg.copy(numEntities = 10, seed = 1011L)
