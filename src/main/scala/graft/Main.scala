@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Main [--entities N] [--docs-per-entity D] [--seed S]
   *              [--run-dir DIR] [--resume] [--threads T] [--no-eval]
   *              [--snapshot-id K] [--sweep]
-  *              [--add-entities N] [--add-seed S]
+  *              [--add-entities N] [--add-seed S] [--exact] [--compact]
   *
   * Synthesizes the deterministic docs corpus (BASELINE.json input_hint
   * shape), runs blocking → scoring → clustering (checkpointed to
@@ -32,6 +32,12 @@ import org.apache.spark.sql.SparkSession
   * [[EntityResolution.addDocuments]], committing a new snapshot of every
   * stage. The base corpus flags must repeat the base run's values —
   * eval regenerates the base gold from them and unions the increment's.
+  * Default mode is the O(delta) INSERT increment (delta snapshots);
+  * `--exact` switches to the batch-identical audit mode.
+  *
+  * `--compact` (with --run-dir): storage-level MAJOR compaction — every
+  * stage's delta chain is materialized as a full snapshot (bit-identical
+  * relations; reads stop paying merge-on-read). No pipeline run.
   */
 object Main {
 
@@ -41,13 +47,13 @@ object Main {
     * JSON metrics line.
     */
   def incrementRun(spark: SparkSession, dir: String, baseCfg: GenConfig,
-                   addCfg: GenConfig, doEval: Boolean): String = {
+                   addCfg: GenConfig, doEval: Boolean, exact: Boolean = false): String = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val newDocs = DocGen.docs(spark, addCfg).map(d => d.copy(doc_id = "n" + d.doc_id))
       .toDF().cache()
     val nNew = newDocs.count()
-    val res = EntityResolution.addDocuments(spark, newDocs, dir)
+    val res = EntityResolution.addDocuments(spark, newDocs, dir, exact = exact)
     val nClusters = res.assignments.select("cluster_id").distinct().count()
     val secs = (System.nanoTime() - t0) / 1e9
     val evalJson = if (doEval) {
@@ -121,13 +127,25 @@ object Main {
       return
     }
 
+    if (flags.contains("--compact")) {
+      val dir = runDir.getOrElse(
+        sys.error("--compact requires --run-dir (the delta-chained run to compact)"))
+      val t0 = System.nanoTime()
+      EntityResolution.compactRun(spark, dir)
+      val snap = graft.ckpt.Snapshots.lastCommitted(dir, "cluster_assignments").getOrElse(-1L)
+      println(s"""{"compacted":true,"seconds":${(System.nanoTime() - t0) / 1e9},""" +
+        s""""last_snapshot_id":$snap}""")
+      spark.stop()
+      return
+    }
+
     val addOpt = opts.get("--add-entities")
     if (addOpt.isDefined) {
       val dir = runDir.getOrElse(
         sys.error("--add-entities requires --run-dir (the committed base run to extend)"))
       val addCfg = cfg.copy(numEntities = addOpt.get.toInt,
         seed = opts.getOrElse("--add-seed", (cfg.seed + 1000).toString).toLong)
-      println(incrementRun(spark, dir, cfg, addCfg, doEval))
+      println(incrementRun(spark, dir, cfg, addCfg, doEval, exact = flags.contains("--exact")))
       spark.stop()
       return
     }

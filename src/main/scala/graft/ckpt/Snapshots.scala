@@ -27,9 +27,13 @@ object Snapshots {
     * layout fails with an explicit error instead of a downstream schema
     * mismatch. History: v1 (unversioned, rounds 1–2) = lineage column
     * `partition_id`, ScoredPair without media_usable/vetoed; v2 (round 3+)
-    * = lineage `read_partition_id`, 9-column ScoredPair.
+    * = lineage `read_partition_id`, 9-column ScoredPair; v3 (round 5+) =
+    * DELTA snapshot (manifest carries `delta_base` + `remove_keys`; data/
+    * holds only the added rows) — resolved on read against its base chain.
+    * A reader accepts v2 (full) and v3 (delta) snapshots.
     */
   val FormatVersion = 2
+  val DeltaFormatVersion = 3
 
   final case class Committed(stage: String, snapshotId: Long, path: String, rows: Long)
 
@@ -109,6 +113,66 @@ object Snapshots {
     Committed(stage, snapId, dataPath, rows)
   }
 
+  /** Atomically commit a DELTA snapshot: `adds` rows plus an optional
+    * keyed-remove relation against the PREVIOUS committed snapshot —
+    * resolved on read as `base.antiJoin(removes, removeKeys) ∪ adds`. The
+    * write is O(|adds| + |removes|) regardless of the base size — the
+    * merge-on-read half of the incremental contract (the batch run is the
+    * compaction that re-materializes a full snapshot). `resolvedRows` is
+    * the caller-maintained logical row count of the RESOLVED relation
+    * (recorded in the manifest like a full snapshot's count; callers of
+    * the incremental path already maintain it by exact merge arithmetic).
+    *
+    * Read cost: one (typically broadcast) anti-join + union per delta in
+    * the chain since the last full snapshot — keep chains short by
+    * compacting (a full [[commit]]) every O(10) increments.
+    */
+  def commitDelta(spark: SparkSession, adds: DataFrame,
+                  removes: Option[(DataFrame, Seq[String])],
+                  runDir: String, stage: String, runId: String,
+                  counters: Map[String, Long], resolvedRows: Long): Committed = {
+    val baseId = lastCommitted(runDir, stage).getOrElse(
+      sys.error(s"commitDelta: no committed base snapshot for $stage under $runDir"))
+    val snapId = baseId + 1L
+    val snapPath = s"${stageDir(runDir, stage)}/snapshot=$snapId"
+    val dataPath = s"$snapPath/data"
+    adds.write.mode(SaveMode.Overwrite).parquet(dataPath)
+    removes.foreach { case (rm, keys) =>
+      rm.selectExpr(keys: _*).dropDuplicates(keys)
+        .write.mode(SaveMode.Overwrite).parquet(s"$snapPath/removes")
+    }
+    // lineage describes what THIS commit wrote (the delta adds)
+    val written = spark.read.parquet(dataPath)
+    val parts = written
+      .groupBy(spark_partition_id().as("read_partition_id"))
+      .agg(count(lit(1)).as("rows_out"))
+      .collect()
+    import spark.implicits._
+    val lineage = parts.toSeq
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .toDF("read_partition_id", "rows_out")
+      .withColumn("run_id", lit(runId))
+      .withColumn("stage", lit(stage))
+      .withColumn("snapshot_id", lit(snapId))
+      .withColumn("counters",
+        map(counters.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
+      .withColumn("committed_at", current_timestamp())
+    lineage.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$snapPath/lineage")
+    val removeKeysJson = removes.map(_._2).getOrElse(Seq.empty)
+      .map(k => s""""$k"""").mkString("[", ",", "]")
+    val manifest =
+      s"""{"format_version":$DeltaFormatVersion,"run_id":"$runId","stage":"$stage","snapshot_id":$snapId,"rows":$resolvedRows,
+         |"delta_base":$baseId,"remove_keys":$removeKeysJson,
+         |"counters":{${counters.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""".stripMargin
+    val tmp = Paths.get(s"$snapPath/_manifest.tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, Paths.get(s"$snapPath/_manifest.json"), StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(Paths.get(s"$snapPath/_COMMITTED.tmp"), "ok")
+    Files.move(Paths.get(s"$snapPath/_COMMITTED.tmp"), Paths.get(s"$snapPath/_COMMITTED"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Committed(stage, snapId, dataPath, resolvedRows)
+  }
+
   /** Counters recorded in a committed snapshot's manifest (the durable
     * side-channel a later increment reads back — e.g. media_df's `n_docs`,
     * the corpus size behind the committed idf weights). Empty map when the
@@ -128,6 +192,21 @@ object Snapshots {
   def lastCounters(runDir: String, stage: String): Map[String, Long] =
     lastCommitted(runDir, stage).map(counters(runDir, stage, _)).getOrElse(Map.empty)
 
+  /** Logical (resolved) row count recorded in a committed snapshot's
+    * manifest — for a delta snapshot this is the caller-maintained count of
+    * the RESOLVED relation, so increments can maintain the next count
+    * without an O(committed) recount.
+    */
+  def committedRows(runDir: String, stage: String, snapshotId: Long): Option[Long] = {
+    val m = Paths.get(s"${stageDir(runDir, stage)}/snapshot=$snapshotId/_manifest.json")
+    if (!Files.exists(m)) return None
+    "\"rows\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(Files.readString(m)).map(_.group(1).toLong)
+  }
+
+  /** Row count of the LATEST committed snapshot of a stage. */
+  def lastRows(runDir: String, stage: String): Option[Long] =
+    lastCommitted(runDir, stage).flatMap(committedRows(runDir, stage, _))
+
   /** Manifest format version of a committed snapshot: absent field (or
     * absent manifest — pre-manifest layouts) reads as v1.
     */
@@ -140,10 +219,46 @@ object Snapshots {
 
   private def checkVersion(runDir: String, stage: String, id: Long): Unit = {
     val v = formatVersionOf(runDir, stage, id)
-    if (v != FormatVersion) throw new IncompatibleSnapshotException(
+    if (v != FormatVersion && v != DeltaFormatVersion) throw new IncompatibleSnapshotException(
       s"snapshot $stage/snapshot=$id in $runDir has format_version $v, this build reads " +
-        s"$FormatVersion — re-run the producing stage (resume from an older build's snapshots " +
-        "would fail on schema mismatch downstream; failing loud here instead)")
+        s"$FormatVersion/$DeltaFormatVersion — re-run the producing stage (resume from an " +
+        "older build's snapshots would fail on schema mismatch downstream; failing loud here)")
+  }
+
+  /** Delta metadata of a committed snapshot: (base snapshot id, remove-key
+    * columns), or None for a full snapshot.
+    */
+  private def deltaMeta(runDir: String, stage: String, id: Long): Option[(Long, Seq[String])] = {
+    val m = Paths.get(s"${stageDir(runDir, stage)}/snapshot=$id/_manifest.json")
+    if (!Files.exists(m)) return None
+    val body = Files.readString(m)
+    "\"delta_base\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body).map { bm =>
+      val keys = "\"remove_keys\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      (bm.group(1).toLong, keys)
+    }
+  }
+
+  /** Resolve a snapshot to its logical relation: full snapshots read their
+    * data dir directly; delta snapshots recursively resolve their base,
+    * apply the keyed remove (anti-join — the remove relation is small and
+    * Spark broadcasts it by file-size estimate), and union the adds.
+    */
+  private def resolve(spark: SparkSession, runDir: String, stage: String, id: Long): DataFrame = {
+    val adds = spark.read.parquet(s"${stageDir(runDir, stage)}/snapshot=$id/data")
+    deltaMeta(runDir, stage, id) match {
+      case None => adds
+      case Some((baseId, keys)) =>
+        checkVersion(runDir, stage, baseId)
+        val base = resolve(spark, runDir, stage, baseId)
+        val rmPath = Paths.get(s"${stageDir(runDir, stage)}/snapshot=$id/removes")
+        val kept =
+          if (Files.isDirectory(rmPath) && keys.nonEmpty)
+            base.join(spark.read.parquet(rmPath.toString), keys, "left_anti")
+          else base
+        kept.unionByName(adds)
+    }
   }
 
   /** Read the latest committed snapshot of a stage, if present. */
@@ -152,15 +267,31 @@ object Snapshots {
 
   /** TIME-TRAVEL read: a SPECIFIC committed snapshot of a stage by id —
     * older snapshots stay readable (and byte-stable) after newer commits,
-    * since a commit only ever adds a new snapshot=<id+1> directory.
-    * Throws if the id was never committed or has an incompatible format.
+    * since a commit only ever adds a new snapshot=<id+1> directory. Delta
+    * snapshots resolve against their base chain transparently. Throws if
+    * the id was never committed or has an incompatible format.
     */
   def loadSnapshot(spark: SparkSession, runDir: String, stage: String, snapshotId: Long): DataFrame = {
     require(snapshots(runDir, stage).contains(snapshotId),
       s"no committed snapshot $stage/snapshot=$snapshotId under $runDir " +
         s"(committed: ${snapshots(runDir, stage).mkString(",")})")
     checkVersion(runDir, stage, snapshotId)
-    spark.read.parquet(s"${stageDir(runDir, stage)}/snapshot=$snapshotId/data")
+    resolve(spark, runDir, stage, snapshotId)
+  }
+
+  /** MAJOR-compact a stage's delta chain: materialize the RESOLVED latest
+    * relation as a full snapshot (next id), carrying the latest counters
+    * forward. Subsequent reads stop paying the merge-on-read chain and
+    * subsequent deltas rebase onto the compacted snapshot; time-travel to
+    * pre-compaction ids is unaffected (compaction only appends). No-op
+    * shape for an already-full latest snapshot (it just rewrites it) — the
+    * caller decides cadence (every O(10) increments keeps chains short).
+    */
+  def compact(spark: SparkSession, runDir: String, stage: String, runId: String): Committed = {
+    val id = lastCommitted(runDir, stage).getOrElse(
+      sys.error(s"compact: no committed snapshot for $stage under $runDir"))
+    commit(spark, resolve(spark, runDir, stage, id), runDir, stage, runId,
+      counters(runDir, stage, id))
   }
 
   /** All lineage rows of a run directory (time-ordered snapshot log). */

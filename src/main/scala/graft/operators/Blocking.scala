@@ -368,6 +368,51 @@ object Blocking {
       "refined_subblocks_kept" -> rKept), hotRows)
   }
 
+  /** INSERT-mode recovery rows for new docs landing in COMMITTED-hot keys
+    * (the frozen-structure increment, EntityResolution.addDocuments): the
+    * committed refinement/chain rows stay untouched; each new doc emits
+    *
+    *  1. its two deterministic refinement sub-keys — the SAME
+    *     famTag(Refined, hash(block_key, refine)) the batch derives, so the
+    *     equi-join pairs it with the kept committed rows of its own
+    *     sub-block (and with other new docs in it) with no committed-side
+    *     recompute. Sub-keys whose NEW-row count alone exceeds the cap are
+    *     dropped (an identical-content flood inside one increment — the
+    *     splice chain below keeps it connected, exactly the batch
+    *     contract for floods);
+    *  2. a SPLICE CHAIN per hot key: the increment's docs sorted by doc_id,
+    *     linked consecutively and anchored to the key's committed
+    *     representative (min committed member, from block_hot) — chain keys
+    *     salted with `chainSalt` so successive increments never collide
+    *     with committed chain links. O(|new hot rows|) rows guarantee a
+    *     connectivity path into the committed component even where the new
+    *     doc's sub-block was dropped or unkept committed-side.
+    *
+    * Pure function of the NEW rows + per-key committed representative —
+    * this is what makes the insert increment O(delta) where exact hot-key
+    * maintenance is O(committed hot membership).
+    */
+  private[graft] def hotInsertRows(newHot: DataFrame, committedReps: DataFrame,
+                                   chainSalt: Long, maxBlockSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = hotKeyed(newHot)
+    val refined = keyed.select(
+      explode(array(col("r0key"), col("r1key"))).as("block_key"), col("doc_id"))
+    val rsz = refined.groupBy("block_key").agg(count(lit(1)).as("n"))
+    val refinedKept = refined
+      .join(rsz.where(col("n") <= maxBlockSize).select("block_key"), "block_key")
+    val w = Window.partitionBy("block_key").orderBy("doc_id")
+    val splice = newHot.select(col("block_key"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .join(committedReps, "block_key")
+      .withColumn("prev", coalesce(col("prev"), col("rep")))
+      .select(
+        famTag(Family.Chain, xxhash64(col("block_key"), lit(chainSalt), col("rn"))).as("block_key"),
+        explode(array(col("prev"), col("doc_id"))).as("doc_id"))
+    refinedKept.unionByName(splice)
+  }
+
   /** Per-block unordered pairs WITHOUT the global per-pair dedup of
     * [[candidatePairs]]: one row per (pair, justifying block). The
     * incremental path diffs these against a replaced block set to maintain

@@ -232,6 +232,43 @@ object EntityResolution {
     * pipeline per data drop (AMPI.main, SURVEY §3.1) — this is the
     * snapshot-based replacement.
     *
+    * Two modes (LSM-style minor/major distinction; the batch run is always
+    * the major compaction):
+    *
+    *  - `exact = false` (DEFAULT, "insert"): the committed blocking
+    *    structure is FROZEN — no committed row moves, no committed pair is
+    *    re-derived; new docs route into the existing structure (committed
+    *    hot keys via their deterministic refinement sub-keys + a salted
+    *    splice chain to the key's committed representative), every stage
+    *    commits an O(|new|)-sized DELTA snapshot (merge-on-read), and ALL
+    *    compute/shuffle/write is O(|new| + |their blocks| + |fresh pairs| +
+    *    |active components|). Recall for new docs is within a hair of
+    *    batch (sub-block membership is deterministic per doc; connectivity
+    *    floors are spliced), and precision divergence is bounded: a
+    *    committed-small key that crosses the cap only via merged growth
+    *    stays uncapped until compaction. This is the mode a standing
+    *    deployment runs per arrival batch.
+    *  - `exact = true`: bit-identical to a batch run over (committed ∪
+    *    new) for blocking rows, candidate pairs, and canonical keys (the
+    *    audit/verification mode; IncrementalSpec asserts the equality,
+    *    including over chained increments). Exactness REQUIRES re-deriving
+    *    every touched hot key's recovery rows over its full merged
+    *    membership — common-token hot keys are touched by any realistic
+    *    increment, so this costs O(hot corpus) per increment regardless of
+    *    increment size, and at +10% it measures SLOWER than the batch
+    *    re-run. Use it to audit the insert path or when increments must be
+    *    indistinguishable from batch; exact mode expects an exact-history
+    *    base (a batch run or exact increments), since insert-mode deltas
+    *    deliberately do not maintain the batch hot-key structure.
+    */
+  def addDocuments(spark: SparkSession, newDocs: DataFrame, runDir: String,
+                   cfg: PipelineConfig = PipelineConfig(), runId: String = "incr",
+                   exact: Boolean = false): Result =
+    if (exact) addDocumentsExact(spark, newDocs, runDir, cfg, runId)
+    else addDocumentsInsert(spark, newDocs, runDir, cfg, runId)
+
+  /** The `exact = true` increment (see [[addDocuments]]).
+    *
     * What is EXACT vs a batch run over (committed ∪ new):
     *  - blocking rows and candidate pairs are bit-identical: the merged raw
     *    key table (small-key membership recovered from the blocking
@@ -284,9 +321,8 @@ object EntityResolution {
     * loud otherwise. `newDocs` doc_ids must be disjoint from the committed
     * corpus (checked).
     */
-  def addDocuments(spark: SparkSession, newDocs: DataFrame, runDir: String,
-                   cfg: PipelineConfig = PipelineConfig(),
-                   runId: String = "incr"): Result = {
+  private def addDocumentsExact(spark: SparkSession, newDocs: DataFrame, runDir: String,
+                                cfg: PipelineConfig, runId: String): Result = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def loadStage(stage: String): DataFrame =
       Snapshots.loadCommitted(spark, runDir, stage).getOrElse(sys.error(
@@ -529,6 +565,205 @@ object EntityResolution {
         "pairs_fresh" -> nFresh, "pairs_affected" -> pairsAffected,
         "cc_iterations" -> cc.iterations.toLong))
   }
+
+  /** The `exact = false` increment (see [[addDocuments]]): frozen committed
+    * structure, O(delta) end-to-end.
+    *
+    *  - blocking: new docs' keys split on committed hot membership. Keys
+    *    NOT committed-hot route through the batch cap logic over the NEW
+    *    rows alone ([[Blocking.routeKeyed]] — a brand-new flood key still
+    *    gets refined/chained; a committed-small key passes raw, deferring
+    *    merge-growth capping to compaction). Keys that ARE committed-hot
+    *    emit [[Blocking.hotInsertRows]] (deterministic sub-keys + splice
+    *    chain). The union is an APPEND-ONLY delta snapshot.
+    *  - pairs: only blocks a delta row touches can create a pair involving
+    *    a new doc, so candidates come from one equi-join over (delta rows ∪
+    *    committed rows at delta keys); pairs already committed (old↔old in
+    *    an unchanged block) are anti-joined away. Fresh pairs are scored
+    *    with idf weights from the MERGED document frequencies and appended
+    *    as a delta — committed pairs and their channels never move.
+    *  - clustering: identical active-component contract to exact mode;
+    *    the delta removes active cluster ids and adds their re-labeled
+    *    assignments plus the new docs.
+    *
+    * media_df stays a FULL commit (O(vocab) — the one merged relation both
+    * modes share; tiny next to any doc-sized table).
+    */
+  private def addDocumentsInsert(spark: SparkSession, newDocs: DataFrame, runDir: String,
+                                 cfg: PipelineConfig, runId: String): Result = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def loadStage(stage: String): DataFrame =
+      Snapshots.loadCommitted(spark, runDir, stage).getOrElse(sys.error(
+        s"addDocuments: no committed '$stage' snapshot under $runDir — the base must be a " +
+          "checkpointed batch run of this build (run() with runDir commits the incremental " +
+          s"base stages $StageBlockHot/$StageDocFeatures/$StageMediaDf alongside the main three)"))
+    val oldBlocking = loadStage("blocking")
+    val oldScored = loadStage("scored_pairs")
+    val oldAssign = loadStage("cluster_assignments")
+    val oldFeatures = loadStage(StageDocFeatures)
+    val oldHot = loadStage(StageBlockHot)
+    val oldDf = loadStage(StageMediaDf)
+    val nOld = Snapshots.lastCounters(runDir, StageMediaDf).getOrElse("n_docs",
+      sys.error(s"addDocuments: $StageMediaDf manifest lacks the n_docs counter"))
+
+    var tickNs = System.nanoTime()
+    def tick(phase: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[addDocuments/ins] $phase%-14s ${(now - tickNs) / 1e9}%.1f s")
+      tickNs = now
+    }
+
+    val toked = Blocking.tokenized(newDocs).persist(MEMORY_AND_DISK)
+    val nNew = toked.count()
+    val dups = toked.select("doc_id").join(oldFeatures.select("doc_id"), "doc_id").count()
+    require(dups == 0,
+      s"addDocuments: $dups new doc_ids already exist in the committed corpus (increments must be disjoint)")
+    tick("tokenize+dup")
+
+    // same plan-hygiene helpers as the exact path: explicit broadcast where
+    // AQE can't see post-aggregation sizes, eager localCheckpoint on every
+    // derived hub (ids tracked, freed before returning)
+    def gated(df: DataFrame): DataFrame =
+      if (df.count() <= 4000000L) broadcast(df) else df
+    val pinnedIds = scala.collection.mutable.Set.empty[Int]
+    def pin(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      pinnedIds ++= ck.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id }
+      ck
+    }
+
+    // ---- blocking: frozen committed structure, append-only delta
+    val newKeyed = pin(Blocking.keyedDocs(toked, cfg.numBands, cfg.rowsPerBand, cfg.tokenBands))
+    val hotKeys = pin(oldHot.select("block_key").distinct())
+    val hotKeysB = gated(hotKeys)
+    val inHot = pin(newKeyed.join(hotKeysB, "block_key")
+      .select(col("block_key"), col("doc_id"), col("refine0"), col("refine1")))
+    val nInHot = inHot.count()
+    val notHot = newKeyed.join(hotKeysB, Seq("block_key"), "left_anti")
+    val route = Blocking.routeKeyed(notHot, cfg.maxBlockSize, withHotRows = true)
+    val routeRows = pin(route.rows)
+    route.rows.unpersist()
+    val routeHot = pin(route.hotRows.get)
+    route.hotRows.get.unpersist()
+    val touchedHot = pin(inHot.select("block_key").distinct())
+    val reps = oldHot.join(gated(touchedHot), "block_key")
+      .groupBy("block_key").agg(min(col("doc_id")).as("rep"))
+    val hotRows = pin(Blocking.hotInsertRows(inHot, reps, chainSalt = nOld, cfg.maxBlockSize))
+    val deltaRows = pin(routeRows.unionByName(hotRows))
+    val deltaCount = deltaRows.count()
+    val baseBlockC = Snapshots.lastCounters(runDir, "blocking")
+    def baseC(k: String): Long = baseBlockC.getOrElse(k, 0L)
+    val blockCounters = Map(
+      "blocking_rows" -> (baseC("blocking_rows") + deltaCount),
+      "capped_block_keys" -> (baseC("capped_block_keys") + route.counters("capped_block_keys")),
+      "capped_doc_rows" -> (baseC("capped_doc_rows") + route.counters("capped_doc_rows") + nInHot),
+      "refined_subblocks_kept" ->
+        (baseC("refined_subblocks_kept") + route.counters("refined_subblocks_kept")),
+      "insert_hot_rows" -> nInHot)
+    val baseBlockRows = Snapshots.lastRows(runDir, "blocking").getOrElse(baseC("blocking_rows"))
+    Snapshots.commitDelta(spark, deltaRows, None, runDir, "blocking", runId,
+      blockCounters, baseBlockRows + deltaCount)
+    val hotAdds = routeHot.select(col("block_key"), col("doc_id"))
+      .unionByName(inHot.select(col("block_key"), col("doc_id")))
+    val baseHotRows = Snapshots.lastCounters(runDir, StageBlockHot).getOrElse("hot_rows", 0L)
+    val hotAddsN = route.counters("capped_doc_rows") + nInHot
+    Snapshots.commitDelta(spark, hotAdds, None, runDir, StageBlockHot, runId,
+      Map("hot_rows" -> (baseHotRows + hotAddsN)), baseHotRows + hotAddsN)
+    val blocking = loadStage("blocking")
+    tick("blocking")
+
+    // ---- fresh candidate pairs from the delta's touched blocks only
+    val deltaKeys = pin(deltaRows.select("block_key").distinct())
+    val oldAtKeys = oldBlocking.join(gated(deltaKeys), "block_key")
+      .select(col("block_key"), col("doc_id"))
+    val cand = Blocking.candidatePairs(
+      deltaRows.select(col("block_key"), col("doc_id")).unionByName(oldAtKeys))
+    val fresh = pin(cand.join(oldScored.select("doc_id_a", "doc_id_b"),
+      Seq("doc_id_a", "doc_id_b"), "left_anti"))
+    tick("pairs")
+
+    // ---- features: merged document frequencies give EXACT batch idf
+    // weights; weight re-attachment runs only over docs in fresh pairs
+    val nTotal = nOld + nNew
+    val mtokNew = PairScoring.mediaTokenRows(toked, cfg.scoring.exclusivePrefix)
+      .persist(MEMORY_AND_DISK)
+    val dfNew = mtokNew.groupBy("mid").agg(count(lit(1)).as("df"))
+    val dfMerged = oldDf.select(col("mid"), col("df").as("df_old"))
+      .join(dfNew.select(col("mid"), col("df").as("df_new")), Seq("mid"), "full_outer")
+      .select(col("mid"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"))
+    val cDf = Snapshots.commit(spark, dfMerged, runDir, StageMediaDf, runId,
+      Map("n_docs" -> nTotal))
+    val w = spark.read.parquet(cDf.path)
+      .select(col("mid"), log1p(lit(nTotal.toDouble) / col("df")).as("w"))
+    val newStored = PairScoring.storedFeatures(toked, mtokNew, cfg.scoring)
+      .join(Blocking.docRefine(toked), "doc_id")
+      .select("doc_id", "refine0", "refine1", "txt", "tok_ids", "m_ids", "x_ids")
+    Snapshots.commitDelta(spark, newStored, None, runDir, StageDocFeatures, runId,
+      Map("n_docs" -> nTotal), nTotal)
+    val docsNeeded = pin(fresh.select(col("doc_id_a").as("doc_id"))
+      .unionByName(fresh.select(col("doc_id_b").as("doc_id"))).distinct())
+    val featsNeeded = pin(PairScoring.featuresFromStored(
+      loadStage(StageDocFeatures).join(gated(docsNeeded), "doc_id"), w))
+    tick("features")
+
+    // ---- scoring: fresh pairs only, appended as a delta
+    val scoredFresh = pin(PairScoring.scoreFeatures(spark, featsNeeded, fresh, cfg.scoring)
+      .toDF())
+    val nFresh = scoredFresh.count()
+    val basePairRows = Snapshots.lastRows(runDir, "scored_pairs").getOrElse(0L)
+    Snapshots.commitDelta(spark, scoredFresh, None, runDir, "scored_pairs", runId,
+      Map("docs_scored_against" -> nTotal, "pairs_fresh" -> nFresh), basePairRows + nFresh)
+    val scored = loadStage("scored_pairs")
+    tick("scoring")
+
+    // ---- clustering: active-component contract identical to exact mode;
+    // the delta removes active cluster ids, adds their re-labeled
+    // assignments plus the new docs
+    val freshEdges = pin(scoredFresh.where(col("score") >= cfg.scoreThreshold)
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst")))
+    val endpoints = pin(freshEdges.select(col("src").as("doc_id"))
+      .unionByName(freshEdges.select(col("dst").as("doc_id"))).distinct())
+    val activeCl = pin(oldAssign.join(gated(endpoints), "doc_id")
+      .select("cluster_id").distinct())
+    val activeClB = gated(activeCl)
+    val activeOld = pin(oldAssign.join(activeClB, "cluster_id"))
+    val starActive = activeOld.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("src"), col("cluster_id").as("dst"))
+    val ccNodes = activeOld.select(col("doc_id")).unionByName(toked.select(col("doc_id")))
+    val cc = ConnectedComponents.assignAllTracked(spark, ccNodes,
+      freshEdges.unionByName(starActive), cfg.maxCcIter, pairsPreDeduped = false)
+    Snapshots.commitDelta(spark, cc.assignments, Some((activeCl, Seq("cluster_id"))),
+      runDir, "cluster_assignments", runId,
+      Map("cc_iterations" -> cc.iterations.toLong), nTotal)
+    cc.releaseCheckpoints(spark)
+    val assignments = loadStage("cluster_assignments")
+    tick("clustering")
+
+    toked.unpersist(); mtokNew.unpersist()
+    pinnedIds.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+    Result(assignments, scored, blocking, cc.iterations,
+      blockCounters ++ Map("docs_added" -> nNew, "docs_total" -> nTotal,
+        "pairs_fresh" -> nFresh, "cc_iterations" -> cc.iterations.toLong,
+        "insert_mode" -> 1L))
+  }
+
+  /** MAJOR-compact every stage of a committed run: each stage's delta
+    * chain is materialized as a full snapshot, so reads stop paying
+    * merge-on-read and the next increment's deltas rebase onto compact
+    * bases. Storage-level only — assignments/pairs/blocking are
+    * bit-identical before and after (CompactionSpec asserts it); run a
+    * fresh BATCH over the corpus instead when you also want to re-derive
+    * idf weights and hot-key structure from current data (the semantic
+    * compaction, see [[addDocuments]]).
+    */
+  def compactRun(spark: SparkSession, runDir: String, runId: String = "compact"): Unit =
+    Seq("blocking", "scored_pairs", "cluster_assignments",
+      StageBlockHot, StageDocFeatures, StageMediaDf)
+      .foreach(stage => Snapshots.compact(spark, runDir, stage, runId))
 
   /** Derive labeled pairs at shared blocking keys (FIXTURES.md §2):
     * candidate pairs from the blocking output, labeled by gold entity

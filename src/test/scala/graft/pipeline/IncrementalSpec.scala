@@ -9,11 +9,17 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Incremental ER (EntityResolution.addDocuments): extending a committed
-  * run must be BATCH-EQUIVALENT where the contract says exact — blocking
-  * rows, candidate pairs, and the scores of newly-created pairs (merged-df
-  * idf == batch idf, bit-equal) — and merge-monotone on clustering, with
-  * every stage landing as a new time-travel snapshot.
+/** Incremental ER (EntityResolution.addDocuments), both modes:
+  *
+  *  - `exact = true` must be BATCH-EQUIVALENT where the contract says
+  *    exact — blocking rows, candidate pairs, and the scores of
+  *    newly-created pairs (merged-df idf == batch idf, bit-equal) — and
+  *    merge-monotone on clustering, with every stage landing as a new
+  *    time-travel snapshot;
+  *  - the default INSERT mode must leave every committed row immutable
+  *    (append-only delta snapshots), create fresh pairs only where a new
+  *    doc is involved, stay gold-exact on clustering, and keep hot-key
+  *    connectivity through the splice chain.
   */
 class IncrementalSpec extends SparkSpec {
 
@@ -48,7 +54,7 @@ class IncrementalSpec extends SparkSpec {
     // test's own lazy caches first so they don't appear mid-increment)
     docsB.count(); goldAll.count()
     val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    val inc = EntityResolution.addDocuments(spark, docsB, tmp, runId = "incr")
+    val inc = EntityResolution.addDocuments(spark, docsB, tmp, runId = "incr", exact = true)
     val leaked = spark.sparkContext.getPersistentRDDs -- persistedBefore
     assert(leaked.isEmpty, s"addDocuments leaked persisted RDDs: ${leaked.keySet}")
 
@@ -111,7 +117,7 @@ class IncrementalSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("graft-incr-hot").toString
     val base = EntityResolution.run(spark, bg.unionByName(first), runDir = Some(tmp), runId = "base")
     base.release()
-    val inc = EntityResolution.addDocuments(spark, rest, tmp, runId = "incr")
+    val inc = EntityResolution.addDocuments(spark, rest, tmp, runId = "incr", exact = true)
     assert(inc.counters("capped_block_keys") > 0, "increment must drive keys over the cap")
 
     // the universe was genuinely recomputed: the hot transition REPLACES
@@ -148,8 +154,8 @@ class IncrementalSpec extends SparkSpec {
     val docsC = DocGen.docs(spark, cfgC).map(d => d.copy(doc_id = "m" + d.doc_id)).toDF()
     val tmp = Files.createTempDirectory("graft-incr-chain").toString
     EntityResolution.run(spark, docsA, runDir = Some(tmp), runId = "base").release()
-    EntityResolution.addDocuments(spark, docsB, tmp, runId = "i1")
-    val inc2 = EntityResolution.addDocuments(spark, docsC, tmp, runId = "i2")
+    EntityResolution.addDocuments(spark, docsB, tmp, runId = "i1", exact = true)
+    val inc2 = EntityResolution.addDocuments(spark, docsC, tmp, runId = "i2", exact = true)
     val batch = EntityResolution.run(spark, docsA.unionByName(docsB).unionByName(docsC))
     assert(keyRows(inc2.blocking) == keyRows(batch.blocking),
       "chained incremental blocking != batch blocking")
@@ -169,6 +175,122 @@ class IncrementalSpec extends SparkSpec {
     assert(asg(inc2.assignments) == asg(batch.assignments),
       "chained incremental clusters != batch clusters")
     batch.release()
+  }
+
+  test("insert mode: committed rows immutable, fresh pairs new-doc-only, gold-exact clusters, delta snapshots resolve") {
+    import spark.implicits._
+    val cfgA = GenConfig(numEntities = 120, docsPerEntity = 3, seed = 42L)
+    val cfgB = GenConfig(numEntities = 40, docsPerEntity = 3, seed = 314L)
+    val docsA = DocGen.docs(spark, cfgA).toDF().cache()
+    val docsB = DocGen.docs(spark, cfgB).map(d => d.copy(doc_id = "n" + d.doc_id)).toDF().cache()
+    val goldAll = DocGen.gold(spark, cfgA).toDF().unionByName(
+      DocGen.gold(spark, cfgB)
+        .map(g => g.copy(doc_id = "n" + g.doc_id, entity_id = "n" + g.entity_id)).toDF()).cache()
+
+    val tmp = Files.createTempDirectory("graft-ins").toString
+    val base = EntityResolution.run(spark, docsA, runDir = Some(tmp), runId = "base")
+    val baseAssign = asg(base.assignments)
+    val baseBlockRows = keyRows(base.blocking)
+    base.release()
+
+    docsB.count(); goldAll.count()
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val inc = EntityResolution.addDocuments(spark, docsB, tmp, runId = "ins")
+    val leaked = spark.sparkContext.getPersistentRDDs -- persistedBefore
+    assert(leaked.isEmpty, s"insert increment leaked persisted RDDs: ${leaked.keySet}")
+    assert(inc.counters("insert_mode") == 1L)
+
+    // append-only blocking: every committed row survives verbatim
+    val resolvedBlock = keyRows(inc.blocking)
+    assert(baseBlockRows.toSet.subsetOf(resolvedBlock.toSet),
+      "insert mode moved/removed a committed blocking row")
+    // committed pairs immutable: every base scored row present with
+    // identical channels (full-row set containment)
+    def scoredRows(df: DataFrame): Set[String] =
+      df.selectExpr("concat_ws('|', doc_id_a, doc_id_b, score, sim_text, sim_media, sim_align)")
+        .collect().map(_.getString(0)).toSet
+    assert(scoredRows(base.scoredPairs).subsetOf(scoredRows(inc.scoredPairs)),
+      "insert mode mutated a committed scored pair")
+    // fresh pairs involve a new doc on at least one side
+    val freshOldOld = inc.scoredPairs
+      .join(base.scoredPairs.select("doc_id_a", "doc_id_b"), Seq("doc_id_a", "doc_id_b"), "left_anti")
+      .where(!col("doc_id_a").startsWith("n") && !col("doc_id_b").startsWith("n"))
+    assert(freshOldOld.isEmpty, "insert mode created an old-old pair (committed universe moved)")
+
+    // clustering: gold-exact on the combined corpus
+    assert(Eval.clusterEquality(inc.assignments, goldAll), "insert-mode clusters != gold")
+    assert(inc.assignments.count() == cfgA.numDocs + cfgB.numDocs)
+
+    // delta snapshots: manifest row counts match the resolved relations;
+    // time-travel to the pre-increment snapshot is intact
+    assert(Snapshots.lastRows(tmp, "blocking").contains(inc.blocking.count()))
+    assert(Snapshots.lastRows(tmp, "scored_pairs").contains(inc.scoredPairs.count()))
+    assert(Snapshots.lastRows(tmp, "cluster_assignments").contains(inc.assignments.count()))
+    assert(asg(Snapshots.loadSnapshot(spark, tmp, "cluster_assignments", 0L)) == baseAssign)
+
+    docsA.unpersist(); docsB.unpersist(); goldAll.unpersist()
+  }
+
+  test("insert mode: new docs of a committed-HOT entity connect through sub-keys + splice chain") {
+    import spark.implicits._
+    val bgCfg = GenConfig(numEntities = 80, docsPerEntity = 3, seed = 7L)
+    val plantedCfg = GenConfig(numEntities = 1, docsPerEntity = 170, seed = 777L)
+    val bg = DocGen.docs(spark, bgCfg).toDF().cache()
+    val planted = DocGen.docs(spark, plantedCfg).map(d => d.copy(doc_id = "p" + d.doc_id)).toDF().cache()
+    val first = planted.where(col("doc_id") < "pd000000000150")
+    val rest = planted.where(col("doc_id") >= "pd000000000150")
+    val goldAll = DocGen.gold(spark, bgCfg).toDF().unionByName(
+      DocGen.gold(spark, plantedCfg)
+        .map(g => g.copy(doc_id = "p" + g.doc_id, entity_id = "p" + g.entity_id)).toDF())
+
+    val tmp = Files.createTempDirectory("graft-ins-hot").toString
+    val base = EntityResolution.run(spark, bg.unionByName(first), runDir = Some(tmp), runId = "base")
+    assert(base.counters("capped_block_keys") > 0, "fixture: planted entity must be hot at base")
+    base.release()
+    val inc = EntityResolution.addDocuments(spark, rest, tmp, runId = "ins")
+    assert(inc.counters("insert_hot_rows") > 0,
+      "new docs of a hot entity must land in committed-hot keys")
+    // splice connectivity: all 170 planted docs in ONE cluster
+    val plantedClusters = inc.assignments.where(col("doc_id").startsWith("p"))
+      .select("cluster_id").distinct().count()
+    assert(plantedClusters == 1, s"planted hot entity split into $plantedClusters clusters")
+    assert(Eval.clusterEquality(inc.assignments, goldAll), "insert-mode clusters != gold")
+    bg.unpersist(); planted.unpersist()
+  }
+
+  test("compactRun: delta chains materialize bit-identically; further increments rebase on the compacted snapshots") {
+    import spark.implicits._
+    val cfgA = GenConfig(numEntities = 60, docsPerEntity = 3, seed = 21L)
+    val cfgB = GenConfig(numEntities = 20, docsPerEntity = 3, seed = 2121L)
+    val cfgC = GenConfig(numEntities = 20, docsPerEntity = 3, seed = 212121L)
+    val docsA = DocGen.docs(spark, cfgA).toDF()
+    val docsB = DocGen.docs(spark, cfgB).map(d => d.copy(doc_id = "n" + d.doc_id)).toDF()
+    val docsC = DocGen.docs(spark, cfgC).map(d => d.copy(doc_id = "m" + d.doc_id)).toDF()
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    EntityResolution.run(spark, docsA, runDir = Some(tmp), runId = "base").release()
+    val inc = EntityResolution.addDocuments(spark, docsB, tmp, runId = "ins")
+    val preAssign = asg(inc.assignments)
+    val preBlock = keyRows(inc.blocking)
+    val preRows = Snapshots.lastRows(tmp, "blocking")
+
+    EntityResolution.compactRun(spark, tmp)
+    // bit-identical relations, now as FULL snapshots (id advanced by one)
+    assert(Snapshots.snapshots(tmp, "cluster_assignments") == Seq(0L, 1L, 2L))
+    assert(asg(Snapshots.loadCommitted(spark, tmp, "cluster_assignments").get) == preAssign)
+    assert(keyRows(Snapshots.loadCommitted(spark, tmp, "blocking").get) == preBlock)
+    assert(Snapshots.lastRows(tmp, "blocking") == preRows)
+    // pre-compaction ids still time-travel
+    assert(asg(Snapshots.loadSnapshot(spark, tmp, "cluster_assignments", 1L)) == preAssign)
+
+    // a further insert increment rebases onto the compacted base
+    val goldAll = DocGen.gold(spark, cfgA).toDF()
+      .unionByName(DocGen.gold(spark, cfgB)
+        .map(g => g.copy(doc_id = "n" + g.doc_id, entity_id = "n" + g.entity_id)).toDF())
+      .unionByName(DocGen.gold(spark, cfgC)
+        .map(g => g.copy(doc_id = "m" + g.doc_id, entity_id = "m" + g.entity_id)).toDF())
+    val inc2 = EntityResolution.addDocuments(spark, docsC, tmp, runId = "ins2")
+    assert(Eval.clusterEquality(inc2.assignments, goldAll),
+      "post-compaction increment clusters != gold")
   }
 
   test("Main --add-entities surface: increments a committed run and reports combined-gold metrics") {
