@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   *              [--run-dir DIR] [--resume] [--threads T] [--no-eval]
   *              [--snapshot-id K] [--sweep]
   *              [--add-entities N] [--add-seed S] [--exact] [--compact]
+  *              [--ingest WATCH_DIR] [--compact-every K] [--repair]
   *
   * Synthesizes the deterministic docs corpus (BASELINE.json input_hint
   * shape), runs blocking → scoring → clustering (checkpointed to
@@ -38,6 +39,18 @@ import org.apache.spark.sql.SparkSession
   * `--compact` (with --run-dir): storage-level MAJOR compaction — every
   * stage's delta chain is materialized as a full snapshot (bit-identical
   * relations; reads stop paying merge-on-read). No pipeline run.
+  *
+  * `--ingest WATCH_DIR` (with --run-dir): STREAMING ingestion — attach a
+  * parquet file-stream source on WATCH_DIR (docs-schema files dropped by
+  * an upstream producer) to the committed run and drain it with
+  * Trigger.AvailableNow: each micro-batch becomes one insert-mode
+  * increment, the streaming checkpoint (`<run-dir>/_stream_checkpoint`)
+  * makes re-invocation exactly-once (already-ingested files are never
+  * re-read; a replayed batch is skipped by its run_id certificate), and
+  * delta chains compact every `--compact-every` increments (default 8).
+  * Run it per arrival (cron-style) or leave a producer dropping files
+  * and re-invoke — the deployment loop. `--repair` first trims an
+  * increment interrupted mid-commit back to the consistent floor.
   */
 object Main {
 
@@ -135,6 +148,32 @@ object Main {
       val snap = graft.ckpt.Snapshots.lastCommitted(dir, "cluster_assignments").getOrElse(-1L)
       println(s"""{"compacted":true,"seconds":${(System.nanoTime() - t0) / 1e9},""" +
         s""""last_snapshot_id":$snap}""")
+      spark.stop()
+      return
+    }
+
+    val ingestOpt = opts.get("--ingest")
+    if (ingestOpt.isDefined) {
+      val dir = runDir.getOrElse(
+        sys.error("--ingest requires --run-dir (the committed base run to extend)"))
+      if (flags.contains("--repair")) {
+        val floor = graft.streaming.StreamingIngest.repair(dir)
+        System.err.println(s"[ingest] repaired to common snapshot floor $floor")
+      }
+      val t0 = System.nanoTime()
+      val before = graft.ckpt.Snapshots.lastCommitted(dir, "cluster_assignments").getOrElse(-1L)
+      val schema = org.apache.spark.sql.Encoders.product[graft.model.Doc].schema
+      val stream = spark.readStream.schema(schema).parquet(ingestOpt.get)
+      val q = graft.streaming.StreamingIngest.start(spark, stream, dir,
+        compactEvery = opts.getOrElse("--compact-every", "8").toInt)
+      q.awaitTermination() // AvailableNow: drains what has arrived, then stops
+      val after = graft.ckpt.Snapshots.lastCommitted(dir, "cluster_assignments").getOrElse(-1L)
+      val assign = graft.ckpt.Snapshots.loadCommitted(spark, dir, "cluster_assignments").get
+      val docsTotal = graft.ckpt.Snapshots
+        .lastCounters(dir, EntityResolution.StageMediaDf).getOrElse("n_docs", -1L)
+      println(s"""{"ingested_snapshots":${after - before},"docs_total":$docsTotal,""" +
+        s""""clusters":${assign.select("cluster_id").distinct().count()},""" +
+        s""""last_snapshot_id":$after,"seconds":${(System.nanoTime() - t0) / 1e9}}""")
       spark.stop()
       return
     }

@@ -62,6 +62,21 @@ object Snapshots {
   def lastCommitted(runDir: String, stage: String): Option[Long] =
     snapshots(runDir, stage).lastOption
 
+  /** ALL snapshot directory ids of a stage, committed or NOT — partial
+    * (crash-interrupted, marker-less) directories included. Input to
+    * repair; readers always use [[snapshots]]/[[lastCommitted]], which see
+    * only committed ids.
+    */
+  def snapshotDirIds(runDir: String, stage: String): Seq[Long] = {
+    val d = Paths.get(stageDir(runDir, stage))
+    if (!Files.isDirectory(d)) return Seq.empty
+    val entries = scala.util.Using.resource(Files.list(d))(_.toArray.toSeq.map(_.toString))
+    entries.flatMap { p =>
+      val name = Paths.get(p).getFileName.toString
+      if (name.startsWith("snapshot=")) Some(name.stripPrefix("snapshot=").toLong) else None
+    }.sorted
+  }
+
   /** Atomically commit `df` as the next snapshot of `stage`:
     * write data → write per-partition lineage rows → fsync manifest →
     * move _COMMITTED marker into place. A crash at any earlier point
@@ -206,6 +221,54 @@ object Snapshots {
   /** Row count of the LATEST committed snapshot of a stage. */
   def lastRows(runDir: String, stage: String): Option[Long] =
     lastCommitted(runDir, stage).flatMap(committedRows(runDir, stage, _))
+
+  /** `run_id` recorded in a committed snapshot's manifest — the commit
+    * provenance tag. Streaming ingestion keys its exactly-once skip on it
+    * (a replayed micro-batch whose increment already fully committed is
+    * recognizable by the LAST stage's run_id).
+    */
+  def runIdOf(runDir: String, stage: String, snapshotId: Long): Option[String] = {
+    val m = Paths.get(s"${stageDir(runDir, stage)}/snapshot=$snapshotId/_manifest.json")
+    if (!Files.exists(m)) return None
+    "\"run_id\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(Files.readString(m)).map(_.group(1))
+  }
+
+  /** Number of DELTA hops from the latest committed snapshot down to its
+    * full base (0 = latest is a full snapshot; also 0 when the stage has
+    * no snapshot). The merge-on-read cost a reader currently pays — the
+    * number compaction cadence decisions key on.
+    */
+  def chainDepth(runDir: String, stage: String): Int = {
+    @annotation.tailrec
+    def walk(id: Long, depth: Int): Int = deltaMeta(runDir, stage, id) match {
+      case Some((baseId, _)) => walk(baseId, depth + 1)
+      case None => depth
+    }
+    lastCommitted(runDir, stage).map(walk(_, 0)).getOrElse(0)
+  }
+
+  /** DESTRUCTIVE: remove one snapshot directory (committed or partial).
+    * Only for repair of an interrupted multi-stage increment — trimming
+    * stages that ran ahead of a crash back to the last id every stage
+    * reached ([[graft.streaming.StreamingIngest.repair]]). Refuses to drop
+    * a snapshot that a LATER delta snapshot uses as its base (that would
+    * orphan the chain); repair never trips this since it trims from the
+    * top down.
+    */
+  def dropSnapshot(runDir: String, stage: String, snapshotId: Long): Unit = {
+    val dependents = snapshots(runDir, stage).filter(_ > snapshotId)
+      .filter(deltaMeta(runDir, stage, _).exists(_._1 == snapshotId))
+    require(dependents.isEmpty,
+      s"dropSnapshot: $stage/snapshot=$snapshotId is the delta base of " +
+        s"snapshot(s) ${dependents.mkString(",")} — drop those first")
+    val dir = Paths.get(s"${stageDir(runDir, stage)}/snapshot=$snapshotId")
+    if (!Files.isDirectory(dir)) return
+    // delete the commit marker FIRST so a crash mid-delete leaves an
+    // uncommitted (invisible) partial, never a half-deleted committed one
+    Files.deleteIfExists(dir.resolve("_COMMITTED"))
+    val all = scala.util.Using.resource(Files.walk(dir))(_.toArray.toSeq.map(_.toString))
+    all.sorted.reverse.foreach(p => Files.deleteIfExists(Paths.get(p)))
+  }
 
   /** Manifest format version of a committed snapshot: absent field (or
     * absent manifest — pre-manifest layouts) reads as v1.

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.ckpt.Snapshots
+import graft.pipeline.EntityResolution
+import graft.pipeline.EntityResolution.PipelineConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous ER ingestion: a Structured Streaming surface over the
+  * insert-mode increment ([[EntityResolution.addDocuments]]).
+  *
+  * Each micro-batch of arriving docs becomes one O(delta) increment
+  * against the committed run — delta snapshots per stage, frozen
+  * committed structure — and every `compactEvery` increments the delta
+  * chains are MAJOR-compacted back to full snapshots (the LSM cadence;
+  * chains stay short so merge-on-read stays one or two broadcast
+  * anti-join/union hops). `foreachBatch` is the right sink shape: the
+  * increment is an arbitrary multi-stage batch job with its own atomic
+  * commit protocol, not a row-append, and `foreachBatch` hands us exactly
+  * the (batch, batchId) replay contract we need.
+  *
+  * Exactly-once across restarts, from two cooperating layers:
+  *  1. Spark's streaming checkpoint (`checkpointLocation`) replays an
+  *     unacknowledged micro-batch with the SAME batchId after a crash;
+  *  2. every stage commit of batch k carries run_id `stream-k`, and
+  *     clustering commits LAST — so "latest cluster_assignments run_id ==
+  *     stream-k" certifies the whole increment committed, and the replay
+  *     skips it ([[ingestBatch]] returns Skipped).
+  * A crash INSIDE an increment (some stages committed, clustering not)
+  * is detected on replay as unequal per-stage snapshot ids and fails
+  * loud pointing at [[repair]], which trims the stages that ran ahead
+  * back to the last id every stage reached (snapshot dirs are immutable
+  * once committed, so trimming the top restores exactly the pre-batch
+  * state; the batch then replays cleanly). Repair is not automatic: it
+  * deletes directories, so the operator opts in.
+  *
+  * At 100 TB this is the arrival path: the batch run bootstraps the
+  * corpus once; per-arrival work is O(batch + touched blocks), the
+  * streaming checkpoint and snapshot ledger together survive any
+  * single-point crash, and compaction amortizes read cost without ever
+  * blocking ingestion (it appends a snapshot like any other commit).
+  */
+object StreamingIngest {
+
+  /** Every stage an increment commits, in commit order — clustering last
+    * (the run_id certificate keys on it).
+    */
+  val Stages: Seq[String] = Seq(
+    "blocking", EntityResolution.StageBlockHot, EntityResolution.StageMediaDf,
+    EntityResolution.StageDocFeatures, "scored_pairs", "cluster_assignments")
+
+  private def batchRunId(batchId: Long): String = s"stream-$batchId"
+
+  sealed trait BatchOutcome
+  /** The increment ran and committed (docs added, fresh pairs scored). */
+  final case class Ingested(docsAdded: Long, pairsFresh: Long, compacted: Boolean)
+      extends BatchOutcome
+  /** Replay of a fully-committed batch, or an empty micro-batch. */
+  case object Skipped extends BatchOutcome
+
+  /** Ingest ONE micro-batch (the `foreachBatch` body, callable directly
+    * for deterministic tests and for driver-side replay tooling).
+    */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, runDir: String,
+                  batchId: Long, cfg: PipelineConfig = PipelineConfig(),
+                  compactEvery: Int = 8): BatchOutcome = {
+    val runId = batchRunId(batchId)
+    val lastIds = Stages.map(s => s -> Snapshots.lastCommitted(runDir, s)).toMap
+    val clusterLast = lastIds("cluster_assignments").getOrElse(
+      sys.error(s"StreamingIngest: no committed base run under $runDir — bootstrap with " +
+        "EntityResolution.run(runDir = Some(...)) before attaching a stream"))
+    if (Snapshots.runIdOf(runDir, "cluster_assignments", clusterLast).contains(runId))
+      return Skipped // replay of a fully-committed batch: ack and move on
+    if (lastIds.values.flatten.toSet.size != 1)
+      sys.error(s"StreamingIngest: stages are at unequal snapshot ids " +
+        s"(${lastIds.map { case (s, id) => s"$s=${id.getOrElse(-1L)}" }.mkString(", ")}) — " +
+        "an increment was interrupted mid-commit; run StreamingIngest.repair(runDir) to trim " +
+        "the stages that ran ahead, then restart the stream (the batch replays cleanly)")
+    if (batch.isEmpty) return Skipped
+    val res = EntityResolution.addDocuments(spark, batch, runDir, cfg, runId = runId)
+    val added = res.counters.getOrElse("docs_added", 0L)
+    val fresh = res.counters.getOrElse("pairs_fresh", 0L)
+    res.release()
+    val compacted = compactEvery > 0 &&
+      Snapshots.chainDepth(runDir, "cluster_assignments") >= compactEvery
+    if (compacted) EntityResolution.compactRun(spark, runDir, runId = s"$runId-compact")
+    Ingested(added, fresh, compacted)
+  }
+
+  /** Attach a streaming source of docs (same schema as the batch corpus)
+    * to a committed run and start the ingestion query. Caller owns the
+    * returned query (awaitTermination / stop). `trigger` defaults to
+    * AvailableNow — drain what has arrived, checkpoint, stop — the shape
+    * both the CLI surface and scheduled (cron-style) ingestion want;
+    * pass `Trigger.ProcessingTime(...)` for an always-on stream.
+    */
+  def start(spark: SparkSession, stream: DataFrame, runDir: String,
+            cfg: PipelineConfig = PipelineConfig(), compactEvery: Int = 8,
+            trigger: Trigger = Trigger.AvailableNow(),
+            checkpointLocation: Option[String] = None,
+            queryName: String = "graft-er-ingest"): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointLocation.getOrElse(s"$runDir/_stream_checkpoint"))
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, batch, runDir, batchId, cfg, compactEvery) match {
+          case Ingested(n, p, c) =>
+            System.err.println(s"[ingest] batch=$batchId docs=$n pairs_fresh=$p" +
+              (if (c) " compacted" else ""))
+          case Skipped =>
+            System.err.println(s"[ingest] batch=$batchId skipped (empty or replay)")
+        }
+      }
+      .start()
+
+  /** Repair an increment interrupted mid-commit: trim every stage back to
+    * the LAST snapshot id ALL stages reached (committed snapshot dirs are
+    * immutable, so deleting the ids past the common floor restores
+    * exactly the pre-batch state), and sweep marker-less partial
+    * directories. DESTRUCTIVE on the trimmed ids — the caller invokes it
+    * deliberately, it is never automatic. Returns the common id trimmed
+    * to. No-op (beyond the partial sweep) when stages already agree.
+    */
+  def repair(runDir: String): Long = {
+    val floor = Stages.map(s => Snapshots.lastCommitted(runDir, s).getOrElse(
+      sys.error(s"repair: stage $s has no committed snapshot under $runDir — not a " +
+        "bootstrapped run directory"))).min
+    Stages.foreach { s =>
+      // top-down so a delta's base is never dropped before the delta
+      Snapshots.snapshotDirIds(runDir, s).filter(_ > floor).sorted.reverse
+        .foreach(Snapshots.dropSnapshot(runDir, s, _))
+    }
+    floor
+  }
+}
