@@ -329,6 +329,17 @@ object EntityResolution {
         s"addDocuments: no committed '$stage' snapshot under $runDir — the base must be a " +
           "checkpointed batch run of this build (run() with runDir commits the incremental " +
           s"base stages $StageBlockHot/$StageDocFeatures/$StageMediaDf alongside the main three)"))
+    // exact mode requires an exact-history base: insert-mode increments
+    // deliberately do not maintain the batch hot-key recovery structure
+    // (frozen committed rows + splice chains instead), so extending such a
+    // history "exactly" would diverge SILENTLY from the batch twin. Insert
+    // increments leave their insert_hot_rows counter in the blocking
+    // manifest (carried forward by compaction) — fail loud on it.
+    require(!Snapshots.lastCounters(runDir, "blocking").contains("insert_hot_rows"),
+      s"addDocuments(exact = true): the run at $runDir contains insert-mode increments, whose " +
+        "deltas do not maintain the batch hot-key structure exact mode extends — an \"exact\" " +
+        "result would silently differ from the batch twin. Either continue with insert mode " +
+        "(the default) or re-run the batch pipeline over the full corpus to reset the history")
     val oldBlocking = loadStage("blocking")
     val oldScored = loadStage("scored_pairs")
     val oldAssign = loadStage("cluster_assignments")

@@ -293,6 +293,32 @@ class IncrementalSpec extends SparkSpec {
       "post-compaction increment clusters != gold")
   }
 
+  test("insert mode: six chained increments with mid-chain compaction stay gold-exact (no drift accumulation)") {
+    import spark.implicits._
+    // the bounded-divergence claim, exercised: frozen-structure inserts
+    // compound across a chain (each rebases on the previous delta state,
+    // and compaction rebases the chain mid-way) — clusters must equal gold
+    // after EVERY link, not just the first
+    val baseCfg = GenConfig(numEntities = 60, docsPerEntity = 3, seed = 31L)
+    val tmp = Files.createTempDirectory("graft-ins-chain").toString
+    EntityResolution.run(spark, DocGen.docs(spark, baseCfg).toDF(),
+      runDir = Some(tmp), runId = "base").release()
+    var gold = DocGen.gold(spark, baseCfg).toDF()
+    (1 to 6).foreach { i =>
+      val cfg = GenConfig(numEntities = 10, docsPerEntity = 3, seed = 3100L + i)
+      val docs = DocGen.docs(spark, cfg).map(d => d.copy(doc_id = s"c$i" + d.doc_id)).toDF()
+      gold = gold.unionByName(DocGen.gold(spark, cfg)
+        .map(g => g.copy(doc_id = s"c$i" + g.doc_id, entity_id = s"c$i" + g.entity_id)).toDF())
+      val inc = EntityResolution.addDocuments(spark, docs, tmp, runId = s"ins$i")
+      assert(Eval.clusterEquality(inc.assignments, gold), s"chain link $i: clusters != gold")
+      if (i == 3) EntityResolution.compactRun(spark, tmp) // rebase mid-chain
+    }
+    assert(Snapshots.lastRows(tmp, "cluster_assignments")
+      .contains(baseCfg.numDocs + 6 * 30L))
+    // post-chain: accumulated delta depth is the three post-compaction links
+    assert(Snapshots.chainDepth(tmp, "cluster_assignments") == 3)
+  }
+
   test("Main --add-entities surface: increments a committed run and reports combined-gold metrics") {
     val baseCfg = GenConfig(numEntities = 30, docsPerEntity = 3, seed = 11L)
     val addCfg = baseCfg.copy(numEntities = 10, seed = 1011L)
@@ -306,6 +332,30 @@ class IncrementalSpec extends SparkSpec {
     assert(json.contains(""""cluster_equality":true"""), json)
     // the increment committed a second snapshot of every stage
     assert(Snapshots.snapshots(tmp, "cluster_assignments") == Seq(0L, 1L))
+  }
+
+  test("exact mode refuses a base whose history contains insert increments (silent-divergence guard)") {
+    import spark.implicits._
+    val cfgA = GenConfig(numEntities = 30, docsPerEntity = 3, seed = 61L)
+    val cfgB = GenConfig(numEntities = 10, docsPerEntity = 3, seed = 6161L)
+    val cfgC = GenConfig(numEntities = 10, docsPerEntity = 3, seed = 616161L)
+    val tmp = Files.createTempDirectory("graft-exact-guard").toString
+    EntityResolution.run(spark, DocGen.docs(spark, cfgA).toDF(),
+      runDir = Some(tmp), runId = "base").release()
+    val docsB = DocGen.docs(spark, cfgB).map(d => d.copy(doc_id = "n" + d.doc_id)).toDF()
+    val docsC = DocGen.docs(spark, cfgC).map(d => d.copy(doc_id = "m" + d.doc_id)).toDF()
+    EntityResolution.addDocuments(spark, docsB, tmp, runId = "ins") // insert history
+    val e = intercept[IllegalArgumentException](
+      EntityResolution.addDocuments(spark, docsC, tmp, runId = "ex", exact = true))
+    assert(e.getMessage.contains("insert-mode increments"))
+    // the guard survives compaction (counters are carried forward)
+    EntityResolution.compactRun(spark, tmp)
+    val e2 = intercept[IllegalArgumentException](
+      EntityResolution.addDocuments(spark, docsC, tmp, runId = "ex2", exact = true))
+    assert(e2.getMessage.contains("insert-mode increments"))
+    // insert mode continues fine on the same history
+    assert(EntityResolution.addDocuments(spark, docsC, tmp, runId = "ins2")
+      .counters("insert_mode") == 1L)
   }
 
   test("addDocuments fails loud on a non-incremental base and on duplicate doc_ids") {
