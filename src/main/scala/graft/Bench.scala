@@ -41,8 +41,10 @@ import org.apache.spark.sql.SparkSession
   * (default 32), SPARK_GRAFT_BENCH_ENTITIES × SPARK_GRAFT_BENCH_DPE (ER
   * corpus size, default 200000 × 3 docs), SPARK_GRAFT_SCALE_N,
   * SPARK_GRAFT_SCALE_REPS[_N], SPARK_GRAFT_SKIP_SCALING / _SKIP_QUERIES /
-  * _SKIP_INCR (the +10% addDocuments-vs-batch-rerun comparison rides with
-  * the scaling section unless skipped).
+  * _SKIP_INCR (the +10% addDocuments-vs-batch-rerun comparison, plus the
+  * retraction leg that removes the same +10% again and checks the
+  * add→remove round trip restores the base clustering bit-exactly, rides
+  * with the scaling section unless skipped).
   */
 object Bench {
 
@@ -335,11 +337,32 @@ object Bench {
         val m = graft.eval.Eval.pairwiseF1(inc.assignments,
           EntityResolution.labeledPairs(inc.blocking, gold))
         val nAdd = nTotal - nBase
+        // RETRACTION leg: remove the just-added 60k from the incremented
+        // run. The surviving corpus IS the base corpus, so (a) the honest
+        // batch-re-run comparator is tBase itself, and (b) the add→remove
+        // ROUND TRIP must land back on the base clustering exactly — the
+        // strongest end-to-end check a removal can offer, measured per
+        // round in the artifact
+        val t3 = System.nanoTime()
+        val rm = EntityResolution.removeDocuments(spark,
+          spark.read.parquet(addDir).select("doc_id"), runDirI, runId = "bench-rm")
+        val nAfterRm = rm.assignments.count()
+        val tRm = (System.nanoTime() - t3) / 1e9
+        val baseAsg = graft.ckpt.Snapshots.loadSnapshot(
+          spark, runDirI, "cluster_assignments", 0L).select("doc_id", "cluster_id")
+        val rtAsg = rm.assignments.select("doc_id", "cluster_id")
+        val rtDiff = rtAsg.exceptAll(baseAsg).count() + baseAsg.exceptAll(rtAsg).count()
         f""","er_increment":{"docs_base":$nBase,"docs_added":$nAdd,"docs_union":$nUnion,""" +
           f""""batch_base_sec":$tBase%.3f,"incr_sec":$tIncr%.3f,"batch_union_sec":$tUnion%.3f,""" +
           f""""incr_speedup_vs_rerun":${tUnion / tIncr}%.3f,""" +
           f""""added_docs_per_sec":${nAdd / tIncr}%.1f,"f1_incremental":${m.f1}%.6f,""" +
-          f""""pairs_fresh":${inc.counters.getOrElse("pairs_fresh", -1L)}}"""
+          f""""pairs_fresh":${inc.counters.getOrElse("pairs_fresh", -1L)}},""" +
+          f""""er_removal":{"docs_removed":$nAdd,"docs_after":$nAfterRm,""" +
+          f""""remove_sec":$tRm%.3f,"removed_docs_per_sec":${nAdd / tRm}%.1f,""" +
+          f""""remove_speedup_vs_rerun":${tBase / tRm}%.3f,""" +
+          f""""pairs_removed":${rm.counters.getOrElse("pairs_removed", -1L)},""" +
+          f""""heal_pairs_scored":${rm.counters.getOrElse("heal_pairs_scored", -1L)},""" +
+          f""""roundtrip_assignment_diff":$rtDiff}"""
       } finally {
         spark.stop()
         import scala.reflect.io.Directory

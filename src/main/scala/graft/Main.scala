@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   *              [--run-dir DIR] [--resume] [--threads T] [--no-eval]
   *              [--snapshot-id K] [--sweep]
   *              [--add-entities N] [--add-seed S] [--exact] [--compact]
+  *              [--remove-entities N] [--replace-entities N] [--expire-keep K]
   *              [--ingest WATCH_DIR] [--compact-every K] [--repair]
   *
   * Synthesizes the deterministic docs corpus (BASELINE.json input_hint
@@ -35,6 +36,28 @@ import org.apache.spark.sql.SparkSession
   * eval regenerates the base gold from them and unions the increment's.
   * Default mode is the O(delta) INSERT increment (delta snapshots);
   * `--exact` switches to the batch-identical audit mode.
+  *
+  * `--remove-entities N` (with --run-dir): RETRACTION — removes every doc
+  * of the first N entities (entity_id order) of the base corpus from the
+  * committed run via [[EntityResolution.removeDocuments]] (delta snapshots;
+  * affected clusters recomputed over surviving edges + splice healing) and
+  * evaluates against the SURVIVING gold. The base corpus flags must repeat
+  * the base run's values.
+  *
+  * `--replace-entities N` (with --run-dir): UPSERT — every doc of the
+  * first N entities of the base corpus is replaced by a re-perturbed
+  * REVISION (same entity identity, fresh typo/media noise —
+  * [[graft.synth.DocGen.docsRevised]]) via
+  * [[EntityResolution.replaceDocuments]] (retract + O(delta) insert on one
+  * history), then evaluated against the UNCHANGED gold: a revision must
+  * not move any doc's entity.
+  *
+  * `--expire-keep K` (with --run-dir): DESTRUCTIVE snapshot retirement —
+  * keeps the newest K committed snapshots per stage (never breaking a
+  * retained delta chain) and deletes the rest. The physical-deletion step
+  * after a retraction: `--remove-entities` → `--compact` →
+  * `--expire-keep 1` leaves no copy of the removed docs on disk (at the
+  * cost of time-travel to the expired ids).
   *
   * `--compact` (with --run-dir): storage-level MAJOR compaction — every
   * stage's delta chain is materialized as a full snapshot (bit-identical
@@ -89,6 +112,71 @@ object Main {
       s""""seconds":$secs,"added_docs_per_sec":${nNew / secs},"counters":$counters$evalJson}"""
   }
 
+  /** Runnable surface over [[EntityResolution.removeDocuments]]: retract
+    * every doc of the first `nRemove` entities (entity_id order) of the
+    * base corpus from the committed run at `dir`, then evaluate against
+    * the SURVIVING gold. Returns the JSON metrics line.
+    */
+  def removalRun(spark: SparkSession, dir: String, baseCfg: GenConfig,
+                 nRemove: Int, doEval: Boolean): String = {
+    import org.apache.spark.sql.functions.col
+    val t0 = System.nanoTime()
+    val gold = DocGen.gold(spark, baseCfg).toDF().cache()
+    val removedEntities = gold.select("entity_id").distinct()
+      .orderBy("entity_id").limit(nRemove)
+    val removedDocs = gold.join(removedEntities, "entity_id").select("doc_id").cache()
+    val nRm = removedDocs.count()
+    val res = EntityResolution.removeDocuments(spark, removedDocs, dir)
+    val nClusters = res.assignments.select("cluster_id").distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val evalJson = if (doEval) {
+      val goldLeft = gold.join(removedDocs, Seq("doc_id"), "left_anti")
+      val labeled = EntityResolution.labeledPairs(res.blocking, goldLeft)
+      val m = Eval.pairwiseF1(res.assignments, labeled)
+      val eq = Eval.clusterEquality(res.assignments, goldLeft)
+      s""","f1":${m.f1},"precision":${m.precision},"recall":${m.recall},""" +
+        s""""cluster_equality":$eq"""
+    } else ""
+    gold.unpersist(); removedDocs.unpersist()
+    val counters = res.counters.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    s"""{"docs_removed":$nRm,"docs_total":${res.counters("docs_total")},""" +
+      s""""clusters":$nClusters,"cc_iterations":${res.ccIterations},""" +
+      s""""seconds":$secs,"counters":$counters$evalJson}"""
+  }
+
+  /** Runnable surface over [[EntityResolution.replaceDocuments]]: UPSERT —
+    * re-perturbed revisions (same entity identity, fresh seeded noise,
+    * [[DocGen.docsRevised]]) of every doc of the first `nReplace` entities
+    * replace their committed versions; evaluated against the UNCHANGED
+    * gold (a revision must not move a doc's entity). Returns the JSON
+    * metrics line.
+    */
+  def replaceRun(spark: SparkSession, dir: String, baseCfg: GenConfig,
+                 nReplace: Int, doEval: Boolean): String = {
+    val t0 = System.nanoTime()
+    val revised = DocGen.docsRevised(spark, baseCfg,
+      nReplace.toLong * baseCfg.docsPerEntity).toDF().cache()
+    val nRev = revised.count()
+    val res = EntityResolution.replaceDocuments(spark, revised, dir)
+    val nClusters = res.assignments.select("cluster_id").distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val evalJson = if (doEval) {
+      val gold = DocGen.gold(spark, baseCfg).toDF()
+      val labeled = EntityResolution.labeledPairs(res.blocking, gold)
+      val m = Eval.pairwiseF1(res.assignments, labeled)
+      val eq = Eval.clusterEquality(res.assignments, gold)
+      s""","f1":${m.f1},"precision":${m.precision},"recall":${m.recall},""" +
+        s""""cluster_equality":$eq"""
+    } else ""
+    revised.unpersist()
+    val counters = res.counters.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    s"""{"docs_replaced":$nRev,"docs_total":${res.counters("docs_total")},""" +
+      s""""clusters":$nClusters,"cc_iterations":${res.ccIterations},""" +
+      s""""seconds":$secs,"counters":$counters$evalJson}"""
+  }
+
   /** Read-only re-evaluation of an older cluster_assignments snapshot
     * (the runnable time-travel surface over Snapshots.loadSnapshot).
     */
@@ -140,6 +228,18 @@ object Main {
       return
     }
 
+    val expireOpt = opts.get("--expire-keep")
+    if (expireOpt.isDefined) {
+      val dir = runDir.getOrElse(
+        sys.error("--expire-keep requires --run-dir (the snapshot log to retire from)"))
+      val dropped = EntityResolution.expireRun(dir, expireOpt.get.toInt)
+      val js = dropped.toSeq.sortBy(_._1).map { case (s, ids) =>
+        s""""$s":[${ids.mkString(",")}]""" }.mkString(",")
+      println(s"""{"expired":{$js}}""")
+      spark.stop()
+      return
+    }
+
     if (flags.contains("--compact")) {
       val dir = runDir.getOrElse(
         sys.error("--compact requires --run-dir (the delta-chained run to compact)"))
@@ -174,6 +274,24 @@ object Main {
       println(s"""{"ingested_snapshots":${after - before},"docs_total":$docsTotal,""" +
         s""""clusters":${assign.select("cluster_id").distinct().count()},""" +
         s""""last_snapshot_id":$after,"seconds":${(System.nanoTime() - t0) / 1e9}}""")
+      spark.stop()
+      return
+    }
+
+    val repOpt = opts.get("--replace-entities")
+    if (repOpt.isDefined) {
+      val dir = runDir.getOrElse(
+        sys.error("--replace-entities requires --run-dir (the committed run to upsert into)"))
+      println(replaceRun(spark, dir, cfg, repOpt.get.toInt, doEval))
+      spark.stop()
+      return
+    }
+
+    val rmOpt = opts.get("--remove-entities")
+    if (rmOpt.isDefined) {
+      val dir = runDir.getOrElse(
+        sys.error("--remove-entities requires --run-dir (the committed run to retract from)"))
+      println(removalRun(spark, dir, cfg, rmOpt.get.toInt, doEval))
       spark.stop()
       return
     }

@@ -270,6 +270,33 @@ object Snapshots {
     all.sorted.reverse.foreach(p => Files.deleteIfExists(Paths.get(p)))
   }
 
+  /** DESTRUCTIVE: retire old snapshots of a stage — keep the newest
+    * `keepLast` committed ids (plus, transitively, any base a RETAINED
+    * delta resolves against: expiration never breaks a live chain — compact
+    * first to free a chain's base) and delete the rest. This is the
+    * PHYSICAL-deletion half of retraction: `removeDocuments` retracts rows
+    * from the latest snapshot logically, but pre-removal snapshot ids keep
+    * them readable (and on disk) until expired here. Returns the dropped
+    * ids. Uncommitted partial directories are repair's domain, not
+    * expiration's — untouched.
+    */
+  def expire(runDir: String, stage: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"expire: keepLast must be >= 1 (got $keepLast)")
+    val ids = snapshots(runDir, stage)
+    val kept0 = ids.takeRight(keepLast).toSet
+    def baseChain(id: Long): Set[Long] = deltaMeta(runDir, stage, id) match {
+      case Some((b, _)) => baseChain(b) + b
+      case None => Set.empty
+    }
+    val kept = kept0 ++ kept0.flatMap(baseChain)
+    val dropped = ids.filterNot(kept)
+    // newest-first: any delta depending on an expired base is itself
+    // expired (a kept delta keeps its chain), so descending order always
+    // satisfies dropSnapshot's dependent guard
+    dropped.sorted.reverse.foreach(dropSnapshot(runDir, stage, _))
+    dropped
+  }
+
   /** Manifest format version of a committed snapshot: absent field (or
     * absent manifest — pre-manifest layouts) reads as v1.
     */
@@ -318,7 +345,12 @@ object Snapshots {
         val rmPath = Paths.get(s"${stageDir(runDir, stage)}/snapshot=$id/removes")
         val kept =
           if (Files.isDirectory(rmPath) && keys.nonEmpty)
+            // a USING-column anti-join moves the key columns to the front
+            // of the output schema — restore the base's column order so a
+            // resolved delta is schema-identical to its base snapshot
+            // (positional consumers like exceptAll depend on it)
             base.join(spark.read.parquet(rmPath.toString), keys, "left_anti")
+              .select(base.columns.map(col).toIndexedSeq: _*)
           else base
         kept.unionByName(adds)
     }

@@ -59,6 +59,12 @@ object Blocking {
   object Family {
     val Sn1 = 1L; val Sn2 = 2L; val Mh = 3L; val Md = 4L; val Tk = 5L
     val Refined = 6L; val Chain = 7L
+    /** Splice-healing pairs created by a removal increment (the pair's
+      * provenance is a lost edge through a removed doc, not a shared block
+      * key) — a derived family like Refined/Chain, never emitted by
+      * document keying.
+      */
+    val Heal = 8L
   }
 
   /** famTag(f, h) = (f << 60) | (h >>> 4). */

@@ -340,6 +340,16 @@ object EntityResolution {
         "deltas do not maintain the batch hot-key structure exact mode extends — an \"exact\" " +
         "result would silently differ from the batch twin. Either continue with insert mode " +
         "(the default) or re-run the batch pipeline over the full corpus to reset the history")
+    // removals leave holes in the derived hot-key recovery rows (a removed
+    // doc's refinement/chain rows vanish but the survivors' committed rows
+    // were derived over the PRE-removal membership), so a batch run over
+    // the surviving corpus would derive different recovery rows — exact
+    // mode cannot extend such a history either
+    require(!Snapshots.lastCounters(runDir, "blocking").contains("removed_docs"),
+      s"addDocuments(exact = true): the run at $runDir contains removal increments — the " +
+        "committed hot-key recovery rows were derived over pre-removal membership, so an " +
+        "\"exact\" extension would silently differ from a batch run over the surviving corpus. " +
+        "Either continue with insert mode (the default) or re-run the batch pipeline")
     val oldBlocking = loadStage("blocking")
     val oldScored = loadStage("scored_pairs")
     val oldAssign = loadStage("cluster_assignments")
@@ -671,7 +681,10 @@ object EntityResolution {
       "capped_doc_rows" -> (baseC("capped_doc_rows") + route.counters("capped_doc_rows") + nInHot),
       "refined_subblocks_kept" ->
         (baseC("refined_subblocks_kept") + route.counters("refined_subblocks_kept")),
-      "insert_hot_rows" -> nInHot)
+      "insert_hot_rows" -> nInHot) ++
+      // history markers survive across modes: a removal anywhere in the
+      // history must keep refusing exact increments even after inserts
+      baseBlockC.get("removed_docs").map("removed_docs" -> _)
     val baseBlockRows = Snapshots.lastRows(runDir, "blocking").getOrElse(baseC("blocking_rows"))
     Snapshots.commitDelta(spark, deltaRows, None, runDir, "blocking", runId,
       blockCounters, baseBlockRows + deltaCount)
@@ -762,6 +775,265 @@ object EntityResolution {
         "insert_mode" -> 1L))
   }
 
+  /** RETRACTION: remove committed documents from a checkpointed run WITHOUT
+    * re-reading the surviving corpus — the takedown/right-to-be-forgotten
+    * operation a standing deployment performs (remove N docs from a
+    * petabyte-scale committed corpus; a batch re-run per takedown batch is
+    * the same scalability cliff [[addDocuments]] exists to avoid). Commits
+    * a new DELTA snapshot of every stage (v3 keyed removes + adds), so the
+    * run directory stays a time-travel log — but note the removed docs'
+    * rows remain READABLE at pre-removal snapshot ids until those snapshots
+    * are aged out of the directory (physical deletion is snapshot-dir
+    * retirement, not this operation).
+    *
+    * Structure-frozen like insert mode (and composable with it — removals
+    * and inserts interleave on one history):
+    *
+    *  - blocking / block_hot / doc_features: every row of a removed doc is
+    *    keyed-removed (doc_id); no committed survivor row moves. A hot key
+    *    whose membership falls back under the cap stays refined/chained
+    *    until a batch run (the semantic compaction) re-derives it.
+    *  - media_df: document frequencies decrement by the removed docs'
+    *    stored m_ids; `n_docs` shrinks. Committed pairs keep their
+    *    committed channels (same contract as inserts: idf drift is
+    *    second-order); pairs scored by LATER increments use the shrunk
+    *    corpus statistics.
+    *  - scored_pairs: every committed pair touching a removed doc is
+    *    keyed-removed — retraction removes the doc's testimony from the
+    *    evidence set, it never merely masks it.
+    *  - clustering: clusters containing a removed doc are recomputed by CC
+    *    over the SURVIVING committed ≥-threshold edges — deliberately NOT
+    *    the merge-monotone star edges of the insert path, which would
+    *    preserve connectivity THROUGH the removed doc. A cluster held
+    *    together only by a removed bridge doc splits, exactly as a batch
+    *    run over the survivors would split it. Untouched clusters keep
+    *    their committed assignment (a component with no removed member
+    *    loses no edge, so it is its own fixpoint).
+    *  - SPLICE HEALING: inside a hot block the committed pair universe is
+    *    sub-quadratic (refinement + chains), so two survivors of the same
+    *    entity can be connected ONLY through a removed doc even though a
+    *    batch run over the survivors would re-chain them. For each removed
+    *    doc, its surviving strong neighbors are therefore chained
+    *    consecutively and those candidate pairs RE-SCORED with the real
+    *    scorer (stored features + current merged idf weights, block-key
+    *    family [[Blocking.Family.Heal]]): connectivity is restored exactly
+    *    where the scorer still vouches for it without the removed doc's
+    *    testimony, and a false hub that bridged different entities heals
+    *    nothing (the heal pairs score below threshold and the split
+    *    stands). O(lost-edge endpoints) pairs, appended to the scored
+    *    delta like any evidence.
+    *
+    * All compute/shuffle is O(|removed| + |their pairs| + |active
+    * components| + |heal candidates|). Fails loud when a requested doc_id
+    * is not in the committed corpus. After a removal, `exact = true`
+    * increments are refused (the committed recovery rows no longer match
+    * any batch derivation — see the guard in [[addDocuments]]); insert
+    * increments continue fine.
+    */
+  def removeDocuments(spark: SparkSession, docIds: DataFrame, runDir: String,
+                      cfg: PipelineConfig = PipelineConfig(),
+                      runId: String = "remove"): Result = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def loadStage(stage: String): DataFrame =
+      Snapshots.loadCommitted(spark, runDir, stage).getOrElse(sys.error(
+        s"removeDocuments: no committed '$stage' snapshot under $runDir — the base must be a " +
+          "checkpointed run of this build"))
+    val oldBlocking = loadStage("blocking")
+    val oldScored = loadStage("scored_pairs")
+    val oldAssign = loadStage("cluster_assignments")
+    val oldFeatures = loadStage(StageDocFeatures)
+    val oldHot = loadStage(StageBlockHot)
+    val oldDf = loadStage(StageMediaDf)
+    val nOld = Snapshots.lastCounters(runDir, StageMediaDf).getOrElse("n_docs",
+      sys.error(s"removeDocuments: $StageMediaDf manifest lacks the n_docs counter"))
+
+    var tickNs = System.nanoTime()
+    def tick(phase: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[removeDocuments] $phase%-14s ${(now - tickNs) / 1e9}%.1f s")
+      tickNs = now
+    }
+
+    // same plan-hygiene helpers as the add paths (see addDocumentsExact)
+    def gated(df: DataFrame): DataFrame =
+      if (df.count() <= 4000000L) broadcast(df) else df
+    val pinnedIds = scala.collection.mutable.Set.empty[Int]
+    def pin(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      pinnedIds ++= ck.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id }
+      ck
+    }
+
+    val removed = pin(docIds.select(col("doc_id")).distinct())
+    val removedB = gated(removed)
+    val nRemoved = removed.count()
+    require(nRemoved > 0, "removeDocuments: empty doc_id set")
+    val unknown = removed.join(oldFeatures.select("doc_id"), Seq("doc_id"), "left_anti").count()
+    require(unknown == 0,
+      s"removeDocuments: $unknown requested doc_ids are not in the committed corpus")
+    val nTotal = nOld - nRemoved
+    tick("resolve+check")
+
+    // ---- blocking + block_hot: keyed remove of every row of a removed doc
+    // (raw, refined, and chain rows all belong to their doc)
+    val removedBlockRows = oldBlocking.join(removedB, "doc_id").count()
+    val removedHotRows = oldHot.join(removedB, "doc_id").count()
+    val baseBlockC = Snapshots.lastCounters(runDir, "blocking")
+    def baseC(k: String): Long = baseBlockC.getOrElse(k, 0L)
+    val blockCounters = Map(
+      "blocking_rows" -> (baseC("blocking_rows") - removedBlockRows),
+      "capped_block_keys" -> baseC("capped_block_keys"),
+      "capped_doc_rows" -> math.max(0L, baseC("capped_doc_rows") - removedHotRows),
+      "refined_subblocks_kept" -> baseC("refined_subblocks_kept"),
+      "removed_docs" -> (baseC("removed_docs") + nRemoved)) ++
+      // and an insert anywhere in the history stays marked across removals
+      baseBlockC.get("insert_hot_rows").map("insert_hot_rows" -> _)
+    val baseBlockRows = Snapshots.lastRows(runDir, "blocking").getOrElse(baseC("blocking_rows"))
+    // empty-adds deltas repartition(1) so the data dir always holds ONE
+    // schema-bearing parquet file (a 0-partition write would leave the
+    // delta's adds unreadable)
+    Snapshots.commitDelta(spark, oldBlocking.limit(0).repartition(1),
+      Some((removed, Seq("doc_id"))),
+      runDir, "blocking", runId, blockCounters, baseBlockRows - removedBlockRows)
+    val baseHotRows = Snapshots.lastCounters(runDir, StageBlockHot).getOrElse("hot_rows", 0L)
+    Snapshots.commitDelta(spark, oldHot.limit(0).repartition(1), Some((removed, Seq("doc_id"))),
+      runDir, StageBlockHot, runId,
+      Map("hot_rows" -> (baseHotRows - removedHotRows)), baseHotRows - removedHotRows)
+    val blocking = loadStage("blocking")
+    tick("blocking")
+
+    // ---- features: decrement document frequencies by the removed docs'
+    // stored media ids (mediaTokens is distinct per doc, so each m_ids
+    // element is exactly one df count); doc_features keyed-removes the docs
+    val dfRemoved = oldFeatures.join(removedB, "doc_id")
+      .select(explode(col("m_ids")).as("mid"))
+      .groupBy("mid").agg(count(lit(1)).as("df_rm"))
+    val dfMerged = oldDf.join(dfRemoved, Seq("mid"), "left")
+      .select(col("mid"), (col("df") - coalesce(col("df_rm"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+    val cDf = Snapshots.commit(spark, dfMerged, runDir, StageMediaDf, runId,
+      Map("n_docs" -> nTotal))
+    Snapshots.commitDelta(spark, oldFeatures.limit(0).repartition(1),
+      Some((removed, Seq("doc_id"))),
+      runDir, StageDocFeatures, runId, Map("n_docs" -> nTotal), nTotal)
+    val newFeatures = loadStage(StageDocFeatures)
+    tick("features")
+
+    // ---- scored pairs: retract every pair touching a removed doc; then
+    // splice-heal — chain each removed doc's surviving strong neighbors
+    // consecutively and re-score those candidates (current corpus weights)
+    val rmA = gated(removed.select(col("doc_id").as("doc_id_a")))
+    val rmB2 = gated(removed.select(col("doc_id").as("doc_id_b")))
+    val rmPairs = pin(oldScored.join(rmA, "doc_id_a").select("doc_id_a", "doc_id_b")
+      .unionByName(oldScored.join(rmB2, "doc_id_b").select("doc_id_a", "doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b"))
+    val nRmPairs = rmPairs.count()
+    val strong = oldScored.where(col("score") >= cfg.scoreThreshold)
+      .select("doc_id_a", "doc_id_b")
+    val lost = pin(
+      strong.join(rmA, "doc_id_a").join(rmB2, Seq("doc_id_b"), "left_anti")
+        .select(col("doc_id_a").as("gone"), col("doc_id_b").as("kept"))
+      .unionByName(
+        strong.join(rmB2, "doc_id_b").join(rmA, Seq("doc_id_a"), "left_anti")
+          .select(col("doc_id_b").as("gone"), col("doc_id_a").as("kept"))))
+    // neighbors sorted lexicographically, so consecutive pairs are already
+    // canonical (a < b); |N|-1 pairs per removed doc reconnect exactly what
+    // it connected, subject to re-scoring
+    val wNext = org.apache.spark.sql.expressions.Window.partitionBy("gone").orderBy("kept")
+    val healCand = pin(lost
+      .select(col("kept"), lead(col("kept"), 1).over(wNext).as("next"))
+      .where(col("next").isNotNull)
+      .select(col("kept").as("doc_id_a"), col("next").as("doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .join(oldScored.select("doc_id_a", "doc_id_b"), Seq("doc_id_a", "doc_id_b"), "left_anti")
+      .withColumn("block_key",
+        Blocking.famTag(Blocking.Family.Heal, xxhash64(col("doc_id_a"), col("doc_id_b")))))
+    val w = spark.read.parquet(cDf.path)
+      .select(col("mid"), log1p(lit(nTotal.toDouble) / col("df")).as("w"))
+    val healDocs = pin(healCand.select(col("doc_id_a").as("doc_id"))
+      .unionByName(healCand.select(col("doc_id_b").as("doc_id"))).distinct())
+    val featsHeal = pin(PairScoring.featuresFromStored(
+      newFeatures.join(gated(healDocs), "doc_id"), w))
+    val scoredHeal = pin(PairScoring.scoreFeatures(spark, featsHeal, healCand, cfg.scoring)
+      .toDF())
+    val nHeal = scoredHeal.count()
+    val basePairRows = Snapshots.lastRows(runDir, "scored_pairs").getOrElse(0L)
+    Snapshots.commitDelta(spark, scoredHeal, Some((rmPairs, Seq("doc_id_a", "doc_id_b"))),
+      runDir, "scored_pairs", runId,
+      Map("docs_scored_against" -> nTotal, "pairs_removed" -> nRmPairs,
+        "heal_pairs_scored" -> nHeal),
+      basePairRows - nRmPairs + nHeal)
+    val scored = loadStage("scored_pairs")
+    tick("pairs+heal")
+
+    // ---- clustering: recompute ONLY clusters containing a removed doc,
+    // over their SURVIVING strong edges plus the heal edges (no committed
+    // star edges — they would preserve connectivity through removed docs)
+    val activeCl = pin(oldAssign.join(removedB, "doc_id").select("cluster_id").distinct())
+    val survActive = pin(oldAssign.join(gated(activeCl), "cluster_id")
+      .join(removedB, Seq("doc_id"), "left_anti"))
+    val sA = gated(survActive.select(col("doc_id").as("doc_id_a")))
+    // a committed pair's endpoints share a cluster, so "a surviving-active,
+    // b not removed" puts both endpoints in the surviving-active set
+    val edgesCommitted = strong.join(sA, "doc_id_a")
+      .join(rmB2, Seq("doc_id_b"), "left_anti")
+    val healEdges = scoredHeal.where(col("score") >= cfg.scoreThreshold)
+      .select("doc_id_a", "doc_id_b")
+    val edges = edgesCommitted.unionByName(healEdges)
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    // committed pairs are unique and heal pairs were anti-joined against
+    // them, so the union is pair-unique — CC skips its initial dedup
+    val cc = ConnectedComponents.assignAllTracked(spark, survActive.select("doc_id"), edges,
+      cfg.maxCcIter, pairsPreDeduped = true)
+    val baseAssignRows = Snapshots.lastRows(runDir, "cluster_assignments").getOrElse(nOld)
+    Snapshots.commitDelta(spark, cc.assignments, Some((activeCl, Seq("cluster_id"))),
+      runDir, "cluster_assignments", runId,
+      Map("cc_iterations" -> cc.iterations.toLong), baseAssignRows - nRemoved)
+    cc.releaseCheckpoints(spark)
+    val assignments = loadStage("cluster_assignments")
+    val clustersActive = activeCl.count()
+    tick("clustering")
+
+    pinnedIds.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+    Result(assignments, scored, blocking, cc.iterations,
+      blockCounters ++ Map("docs_removed" -> nRemoved, "docs_total" -> nTotal,
+        "pairs_removed" -> nRmPairs, "heal_pairs_scored" -> nHeal,
+        "clusters_recomputed" -> clustersActive,
+        "cc_iterations" -> cc.iterations.toLong))
+  }
+
+  /** UPSERT: replace committed documents with new versions (and insert any
+    * genuinely new doc_ids in the same call) — the third incremental verb a
+    * standing deployment needs (daily feeds carry revisions alongside fresh
+    * docs). Composed from the two verbs whose semantics are already proven:
+    * the doc_ids of `newVersions` that exist in the committed corpus are
+    * retracted via [[removeDocuments]] (testimony of the OLD version leaves
+    * the evidence set; its clusters recompute over surviving edges), then
+    * ALL of `newVersions` enters as one O(delta) [[addDocuments]] insert
+    * increment (the new versions re-block, re-pair, and re-cluster under
+    * current corpus statistics). Two delta snapshots per stage on one
+    * history; a revision that changes a doc's content MOVES it between
+    * clusters exactly as a batch run over the edited corpus would.
+    * No-op-free: requires a nonempty `newVersions`.
+    */
+  def replaceDocuments(spark: SparkSession, newVersions: DataFrame, runDir: String,
+                       cfg: PipelineConfig = PipelineConfig(),
+                       runId: String = "replace"): Result = {
+    val ids = newVersions.select(col("doc_id")).distinct()
+    val committed = Snapshots.loadCommitted(spark, runDir, StageDocFeatures).getOrElse(
+      sys.error(s"replaceDocuments: no committed '$StageDocFeatures' snapshot under $runDir"))
+      .select("doc_id")
+    val toRemove = ids.join(committed, Seq("doc_id"), "left_semi")
+    val nReplaced = toRemove.count()
+    if (nReplaced > 0)
+      removeDocuments(spark, toRemove, runDir, cfg, runId = s"$runId-rm")
+    val ins = addDocuments(spark, newVersions, runDir, cfg, runId = s"$runId-ins")
+    ins.copy(counters = ins.counters + ("docs_replaced" -> nReplaced))
+  }
+
   /** MAJOR-compact every stage of a committed run: each stage's delta
     * chain is materialized as a full snapshot, so reads stop paying
     * merge-on-read and the next increment's deltas rebase onto compact
@@ -775,6 +1047,19 @@ object EntityResolution {
     Seq("blocking", "scored_pairs", "cluster_assignments",
       StageBlockHot, StageDocFeatures, StageMediaDf)
       .foreach(stage => Snapshots.compact(spark, runDir, stage, runId))
+
+  /** DESTRUCTIVE: retire old snapshots of every stage, keeping the newest
+    * `keepLast` per stage (plus any base a retained delta chain needs — see
+    * [[Snapshots.expire]]). The physical-deletion step after a retraction:
+    * `removeDocuments` → `compactRun` (the latest snapshot re-materializes
+    * without the removed rows) → `expireRun(keepLast = 1)` leaves no copy
+    * of the removed docs on disk. Costs time-travel to the expired ids, by
+    * design. Returns dropped ids per stage.
+    */
+  def expireRun(runDir: String, keepLast: Int = 1): Map[String, Seq[Long]] =
+    Seq("blocking", "scored_pairs", "cluster_assignments",
+      StageBlockHot, StageDocFeatures, StageMediaDf)
+      .map(stage => stage -> Snapshots.expire(runDir, stage, keepLast)).toMap
 
   /** Derive labeled pairs at shared blocking keys (FIXTURES.md §2):
     * candidate pairs from the blocking output, labeled by gold entity

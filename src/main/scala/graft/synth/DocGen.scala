@@ -181,6 +181,25 @@ object DocGen {
       .map(i => genDoc(cfg, i)._1)
   }
 
+  /** REVISED versions of the first `nDocs` uniform-corpus docs: the SAME
+    * doc_id and entity template (identity preserved) with fresh seeded
+    * perturbations — revision r re-perturbs at docIdx' = docIdx +
+    * r·docsPerEntity, an rng stream disjoint from every generated doc. The
+    * upsert ([[graft.pipeline.EntityResolution.replaceDocuments]]) input: a
+    * revision changes typos/dropped-media noise, never entity identity, so
+    * the gold clustering of a replaced corpus is unchanged.
+    */
+  def docsRevised(spark: SparkSession, cfg: GenConfig, nDocs: Long,
+                  revision: Int = 1): Dataset[Doc] = {
+    require(revision >= 1, "revision 0 IS the generated corpus")
+    import spark.implicits._
+    spark.range(0, nDocs, 1, cfg.numPartitions).map { i =>
+      val entityIdx = i / cfg.docsPerEntity
+      val docIdx = i % cfg.docsPerEntity + revision.toLong * cfg.docsPerEntity
+      genAt(cfg, entityIdx, docIdx, f"d$i%012d")._1
+    }
+  }
+
   def gold(spark: SparkSession, cfg: GenConfig): Dataset[GoldCluster] = {
     import spark.implicits._
     spark.range(0, cfg.numDocs, 1, cfg.numPartitions).map { i =>

@@ -52,6 +52,28 @@ class DeltaSnapshotSpec extends SparkSpec {
     assert(Snapshots.counters(tmp, "t", 2L)("n") == 3L)
   }
 
+  test("resolved delta is schema-order-identical to its base (non-leading remove key)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-delta-ord").toString
+    // base column order (doc, cl); remove keyed on the SECOND column — a
+    // USING-column anti-join moves key columns to the front, which the
+    // resolver must undo or positional consumers (exceptAll, parquet
+    // appends) silently compare doc against cl
+    val base = Seq(("x1", "c1"), ("x2", "c1"), ("y1", "c2")).toDF("doc", "cl")
+    Snapshots.commit(spark, base, tmp, "t", "r0", Map.empty)
+    val adds = Seq(("x9", "c9")).toDF("doc", "cl")
+    Snapshots.commitDelta(spark, adds, Some((Seq("c2").toDF("cl"), Seq("cl"))),
+      tmp, "t", "r1", Map.empty, resolvedRows = 3L)
+    val resolved = Snapshots.loadCommitted(spark, tmp, "t").get
+    assert(resolved.columns.toSeq == Seq("doc", "cl"),
+      s"resolved delta reordered columns: ${resolved.columns.toSeq}")
+    // positional equality with an equivalent full relation must hold
+    val expected = Seq(("x1", "c1"), ("x2", "c1"), ("x9", "c9")).toDF("doc", "cl")
+    assert(resolved.exceptAll(expected).isEmpty && expected.exceptAll(resolved).isEmpty)
+    assert(resolved.where(col("doc") === "y1").isEmpty)
+  }
+
   test("commitDelta without removes is a pure append; requires a committed base") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-delta-app").toString
