@@ -39,7 +39,70 @@ object Snapshots {
 
   final class IncompatibleSnapshotException(msg: String) extends RuntimeException(msg)
 
+  /** Thrown when another writer published the same snapshot id while this
+    * commit was staging — two uncoordinated writers share a run dir (e.g. a
+    * streaming ingester plus a manual increment). The losing commit's staged
+    * files are already deleted when this is thrown; nothing it wrote is
+    * visible. Serialize writers per run dir and retry.
+    */
+  final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
   private def stageDir(runDir: String, stage: String) = s"$runDir/$stage"
+
+  private def deleteRecursively(path: String): Unit = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return
+    val all = scala.util.Using.resource(Files.walk(p))(_.toArray.toSeq.map(_.toString))
+    all.sorted.reverse.foreach(q => Files.deleteIfExists(Paths.get(q)))
+  }
+
+  /** Allocate a staging directory for a commit attempt, invisible to every
+    * reader (readers only match `snapshot=` names; [[lineage]] skips
+    * `_attempt_` paths). The commit point is [[publish]]'s atomic rename.
+    */
+  private def stageAttempt(stageD: String): String = {
+    Files.createDirectories(Paths.get(stageD))
+    s"$stageD/_attempt_${java.util.UUID.randomUUID().toString.take(12)}"
+  }
+
+  /** The single commit point: atomically rename a fully-written attempt dir
+    * (data + lineage + manifest + _COMMITTED already inside) to its
+    * `snapshot=<id>` name. rename(2) fails if the target exists, so when two
+    * uncoordinated writers race the same next id, exactly one publishes; the
+    * loser's staged files are deleted and it fails loud — never the previous
+    * behavior of both writing into one shared directory with Overwrite.
+    */
+  private def publish(attempt: String, snapPath: String, runDir: String,
+                      stage: String, snapId: Long): Unit = {
+    try Files.move(Paths.get(attempt), Paths.get(snapPath), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // rename(2) onto an existing non-empty dir surfaces as EEXIST/ENOTEMPTY
+      // (FileAlreadyExists/DirectoryNotEmpty/raw FileSystemException depending
+      // on the JDK path); the target-exists guard keeps genuine IO errors
+      // (EXDEV, EACCES, disk full) propagating untouched
+      case e: java.nio.file.FileSystemException if Files.exists(Paths.get(snapPath)) =>
+        deleteRecursively(attempt)
+        throw new ConcurrentCommitException(
+          s"$stage/snapshot=$snapId under $runDir was committed by another writer while " +
+            s"this commit was staging (lost the publish race, ${e.getClass.getSimpleName}) — " +
+            "two uncoordinated writers share this run dir; serialize commits per run dir")
+    }
+  }
+
+  /** DESTRUCTIVE: delete stale staged-commit attempt directories (left by a
+    * writer that crashed BEFORE its publish rename — invisible to readers,
+    * pure disk garbage). Repair's domain: only call when no writer is live
+    * on the run dir, since a live writer's staging dir is indistinguishable
+    * from a stale one. Returns the deleted paths.
+    */
+  def cleanAttempts(runDir: String, stage: String): Seq[String] = {
+    val d = Paths.get(stageDir(runDir, stage))
+    if (!Files.isDirectory(d)) return Seq.empty
+    val attempts = scala.util.Using.resource(Files.list(d))(_.toArray.toSeq.map(_.toString))
+      .filter(p => Paths.get(p).getFileName.toString.startsWith("_attempt_"))
+    attempts.foreach(deleteRecursively)
+    attempts
+  }
 
   /** All COMMITTED snapshot ids of a stage, ascending — the time-ordered
     * snapshot log (each commit is monotone, so id order = commit order).
@@ -77,19 +140,33 @@ object Snapshots {
     }.sorted
   }
 
-  /** Atomically commit `df` as the next snapshot of `stage`:
-    * write data → write per-partition lineage rows → fsync manifest →
-    * move _COMMITTED marker into place. A crash at any earlier point
-    * leaves no committed snapshot, so resume recomputes the stage.
+  /** Atomically commit `df` as the next snapshot of `stage`: stage data +
+    * per-partition lineage rows + manifest + _COMMITTED marker into a
+    * private `_attempt_` directory (invisible to every reader), then
+    * atomically rename it to `snapshot=<id>` — the rename is the single
+    * commit point. A crash at any earlier point leaves only invisible
+    * staging garbage, so resume recomputes the stage; a CONCURRENT writer
+    * publishing the same id first makes this commit fail loud with
+    * [[ConcurrentCommitException]] instead of both writers interleaving
+    * files in one shared directory.
     * Returns the committed handle; the DataFrame read back is the
     * canonical stage output (also truncates upstream lineage — doubles
     * as the reference's cache() of reused RDDs, FormatSmartCardData:48).
     */
   def commit(spark: SparkSession, df: DataFrame, runDir: String, stage: String,
-             runId: String, counters: Map[String, Long]): Committed = {
-    val snapId = lastCommitted(runDir, stage).getOrElse(-1L) + 1L
+             runId: String, counters: Map[String, Long]): Committed =
+    commitAt(spark, df, runDir, stage, runId, counters,
+      lastCommitted(runDir, stage).getOrElse(-1L) + 1L)
+
+  /** [[commit]] with a caller-chosen snapshot id — the CAS seam the
+    * concurrency test drives deterministically (package-private).
+    */
+  private[ckpt] def commitAt(spark: SparkSession, df: DataFrame, runDir: String, stage: String,
+                             runId: String, counters: Map[String, Long],
+                             snapId: Long): Committed = {
     val snapPath = s"${stageDir(runDir, stage)}/snapshot=$snapId"
-    val dataPath = s"$snapPath/data"
+    val attempt = stageAttempt(stageDir(runDir, stage))
+    val dataPath = s"$attempt/data"
     df.write.mode(SaveMode.Overwrite).parquet(dataPath)
 
     // ONE job re-reads the written parquet for per-partition lineage; the
@@ -115,17 +192,16 @@ object Snapshots {
         map(counters.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
       .withColumn("committed_at", current_timestamp())
     // local-relation write: no cluster job re-scans the data for lineage
-    lineage.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$snapPath/lineage")
+    lineage.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$attempt/lineage")
     val manifest =
       s"""{"format_version":$FormatVersion,"run_id":"$runId","stage":"$stage","snapshot_id":$snapId,"rows":$rows,
          |"counters":{${counters.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""".stripMargin
-    val tmp = Paths.get(s"$snapPath/_manifest.tmp")
-    Files.writeString(tmp, manifest)
-    Files.move(tmp, Paths.get(s"$snapPath/_manifest.json"), StandardCopyOption.ATOMIC_MOVE)
-    Files.writeString(Paths.get(s"$snapPath/_COMMITTED.tmp"), "ok")
-    Files.move(Paths.get(s"$snapPath/_COMMITTED.tmp"), Paths.get(s"$snapPath/_COMMITTED"),
-      StandardCopyOption.ATOMIC_MOVE)
-    Committed(stage, snapId, dataPath, rows)
+    Files.writeString(Paths.get(s"$attempt/_manifest.json"), manifest)
+    // marker rides INSIDE the attempt: the publish rename makes the
+    // directory appear fully committed in one atomic step
+    Files.writeString(Paths.get(s"$attempt/_COMMITTED"), "ok")
+    publish(attempt, snapPath, runDir, stage, snapId)
+    Committed(stage, snapId, s"$snapPath/data", rows)
   }
 
   /** Atomically commit a DELTA snapshot: `adds` rows plus an optional
@@ -150,11 +226,12 @@ object Snapshots {
       sys.error(s"commitDelta: no committed base snapshot for $stage under $runDir"))
     val snapId = baseId + 1L
     val snapPath = s"${stageDir(runDir, stage)}/snapshot=$snapId"
-    val dataPath = s"$snapPath/data"
+    val attempt = stageAttempt(stageDir(runDir, stage))
+    val dataPath = s"$attempt/data"
     adds.write.mode(SaveMode.Overwrite).parquet(dataPath)
     removes.foreach { case (rm, keys) =>
       rm.selectExpr(keys: _*).dropDuplicates(keys)
-        .write.mode(SaveMode.Overwrite).parquet(s"$snapPath/removes")
+        .write.mode(SaveMode.Overwrite).parquet(s"$attempt/removes")
     }
     // lineage describes what THIS commit wrote (the delta adds)
     val written = spark.read.parquet(dataPath)
@@ -172,20 +249,21 @@ object Snapshots {
       .withColumn("counters",
         map(counters.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
       .withColumn("committed_at", current_timestamp())
-    lineage.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$snapPath/lineage")
+    lineage.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$attempt/lineage")
     val removeKeysJson = removes.map(_._2).getOrElse(Seq.empty)
       .map(k => s""""$k"""").mkString("[", ",", "]")
     val manifest =
       s"""{"format_version":$DeltaFormatVersion,"run_id":"$runId","stage":"$stage","snapshot_id":$snapId,"rows":$resolvedRows,
          |"delta_base":$baseId,"remove_keys":$removeKeysJson,
          |"counters":{${counters.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""".stripMargin
-    val tmp = Paths.get(s"$snapPath/_manifest.tmp")
-    Files.writeString(tmp, manifest)
-    Files.move(tmp, Paths.get(s"$snapPath/_manifest.json"), StandardCopyOption.ATOMIC_MOVE)
-    Files.writeString(Paths.get(s"$snapPath/_COMMITTED.tmp"), "ok")
-    Files.move(Paths.get(s"$snapPath/_COMMITTED.tmp"), Paths.get(s"$snapPath/_COMMITTED"),
-      StandardCopyOption.ATOMIC_MOVE)
-    Committed(stage, snapId, dataPath, resolvedRows)
+    Files.writeString(Paths.get(s"$attempt/_manifest.json"), manifest)
+    Files.writeString(Paths.get(s"$attempt/_COMMITTED"), "ok")
+    // the CAS here also guards the delta-base arithmetic: a concurrent
+    // writer that committed since our lastCommitted read claimed snapId
+    // first, and publishing OUR delta (computed against the now-stale base)
+    // on top of it would be wrong — failing the race is the correct outcome
+    publish(attempt, snapPath, runDir, stage, snapId)
+    Committed(stage, snapId, s"$snapPath/data", resolvedRows)
   }
 
   /** Counters recorded in a committed snapshot's manifest (the durable
@@ -266,8 +344,7 @@ object Snapshots {
     // delete the commit marker FIRST so a crash mid-delete leaves an
     // uncommitted (invisible) partial, never a half-deleted committed one
     Files.deleteIfExists(dir.resolve("_COMMITTED"))
-    val all = scala.util.Using.resource(Files.walk(dir))(_.toArray.toSeq.map(_.toString))
-    all.sorted.reverse.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    deleteRecursively(dir.toString)
   }
 
   /** DESTRUCTIVE: retire old snapshots of a stage — keep the newest
@@ -394,7 +471,7 @@ object Snapshots {
     val d = Paths.get(runDir)
     if (!Files.isDirectory(d)) return None
     val paths = scala.util.Using.resource(Files.walk(d))(_.toArray.toSeq.map(_.toString))
-      .filter(_.endsWith("/lineage"))
+      .filter(p => p.endsWith("/lineage") && !p.contains("/_attempt_"))
     if (paths.isEmpty) None
     else Some(spark.read.parquet(paths: _*))
   }

@@ -130,6 +130,9 @@ object StreamingIngest {
       // top-down so a delta's base is never dropped before the delta
       Snapshots.snapshotDirIds(runDir, s).filter(_ > floor).sorted.reverse
         .foreach(Snapshots.dropSnapshot(runDir, s, _))
+      // staged-commit attempts a crashed writer left behind are invisible
+      // to readers but real disk; repair is the one safe sweep point
+      Snapshots.cleanAttempts(runDir, s)
     }
     floor
   }
