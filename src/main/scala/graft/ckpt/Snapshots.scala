@@ -81,11 +81,22 @@ object Snapshots {
       // on the JDK path); the target-exists guard keeps genuine IO errors
       // (EXDEV, EACCES, disk full) propagating untouched
       case e: java.nio.file.FileSystemException if Files.exists(Paths.get(snapPath)) =>
-        deleteRecursively(attempt)
-        throw new ConcurrentCommitException(
-          s"$stage/snapshot=$snapId under $runDir was committed by another writer while " +
-            s"this commit was staging (lost the publish race, ${e.getClass.getSimpleName}) — " +
-            "two uncoordinated writers share this run dir; serialize commits per run dir")
+        if (!Files.exists(Paths.get(snapPath, "_COMMITTED"))) {
+          // a MARKER-LESS dir at this id is crash garbage (a pre-protocol
+          // partial commit, or a dropSnapshot/repair interrupted mid-delete
+          // after removing the marker), never a live writer — live writers
+          // stage in _attempt_ dirs. Absorb it and publish; without this a
+          // stale partial would permanently block the id with a misleading
+          // concurrent-writer error
+          deleteRecursively(snapPath)
+          Files.move(Paths.get(attempt), Paths.get(snapPath), StandardCopyOption.ATOMIC_MOVE)
+        } else {
+          deleteRecursively(attempt)
+          throw new ConcurrentCommitException(
+            s"$stage/snapshot=$snapId under $runDir was committed by another writer while " +
+              s"this commit was staging (lost the publish race, ${e.getClass.getSimpleName}) — " +
+              "two uncoordinated writers share this run dir; serialize commits per run dir")
+        }
     }
   }
 

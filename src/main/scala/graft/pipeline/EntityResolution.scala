@@ -321,14 +321,48 @@ object EntityResolution {
     * loud otherwise. `newDocs` doc_ids must be disjoint from the committed
     * corpus (checked).
     */
+  /** Plan-hygiene shared by the three incremental verbs: fail-loud
+    * committed-stage loads; explicit broadcast gating where AQE cannot see
+    * post-aggregation sizes (4M-row bound, same as the CC decode
+    * dictionary — caller must have persisted/pinned `df` first since
+    * gating counts it); eager localCheckpoint pinning of derived hubs
+    * (increments derive MANY small relations from each other — left as
+    * plain plans their logical trees nest multiplicatively and per-action
+    * plan stringification alone becomes heap-exhausting; pinning truncates
+    * the plan to the materialized rows, ids tracked and freed via
+    * [[releasePins]] before the verb returns — same LogicalRDD-id tracking
+    * as the CC loop); and coarse per-phase stderr ticks.
+    */
+  private final class IncrContext(spark: SparkSession, runDir: String, verb: String) {
+    def loadStage(stage: String): DataFrame =
+      Snapshots.loadCommitted(spark, runDir, stage).getOrElse(sys.error(
+        s"$verb: no committed '$stage' snapshot under $runDir — the base must be a " +
+          "checkpointed batch run of this build (run() with runDir commits the incremental " +
+          s"base stages $StageBlockHot/$StageDocFeatures/$StageMediaDf alongside the main three)"))
+    def gated(df: DataFrame): DataFrame =
+      if (df.count() <= 4000000L) broadcast(df) else df
+    private val pinnedIds = scala.collection.mutable.Set.empty[Int]
+    def pin(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      pinnedIds ++= ck.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id }
+      ck
+    }
+    private var tickNs = System.nanoTime()
+    def tick(phase: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[$verb] $phase%-14s ${(now - tickNs) / 1e9}%.1f s")
+      tickNs = now
+    }
+    def releasePins(): Unit = pinnedIds.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  }
+
   private def addDocumentsExact(spark: SparkSession, newDocs: DataFrame, runDir: String,
                                 cfg: PipelineConfig, runId: String): Result = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def loadStage(stage: String): DataFrame =
-      Snapshots.loadCommitted(spark, runDir, stage).getOrElse(sys.error(
-        s"addDocuments: no committed '$stage' snapshot under $runDir — the base must be a " +
-          "checkpointed batch run of this build (run() with runDir commits the incremental " +
-          s"base stages $StageBlockHot/$StageDocFeatures/$StageMediaDf alongside the main three)"))
+    val ctx = new IncrContext(spark, runDir, "addDocuments")
+    import ctx.{loadStage, gated, pin, tick}
     // exact mode requires an exact-history base: insert-mode increments
     // deliberately do not maintain the batch hot-key recovery structure
     // (frozen committed rows + splice chains instead), so extending such a
@@ -359,42 +393,12 @@ object EntityResolution {
     val nOld = Snapshots.lastCounters(runDir, StageMediaDf).getOrElse("n_docs",
       sys.error(s"addDocuments: $StageMediaDf manifest lacks the n_docs counter"))
 
-    // coarse phase walls on stderr (same style as erRun diagnostics)
-    var tickNs = System.nanoTime()
-    def tick(phase: String): Unit = {
-      val now = System.nanoTime()
-      System.err.println(f"[addDocuments] $phase%-14s ${(now - tickNs) / 1e9}%.1f s")
-      tickNs = now
-    }
-
     val toked = Blocking.tokenized(newDocs).persist(MEMORY_AND_DISK)
     val nNew = toked.count()
     val dups = toked.select("doc_id").join(oldFeatures.select("doc_id"), "doc_id").count()
     require(dups == 0,
       s"addDocuments: $dups new doc_ids already exist in the committed corpus (increments must be disjoint)")
     tick("tokenize+dup")
-
-    // Broadcast a small relation explicitly where AQE cannot see its size
-    // (post-aggregation subtrees feeding anti-joins / semi-filters);
-    // falls back to a plain shuffle join beyond 4M rows (the same bound as
-    // the CC decode dictionary). Caller must have persisted `df`.
-    def gated(df: DataFrame): DataFrame =
-      if (df.count() <= 4000000L) broadcast(df) else df
-
-    // The increment derives MANY small relations from each other (routes,
-    // per-block pair diffs, probes); left as plain plans their logical
-    // trees nest multiplicatively and per-action plan stringification
-    // alone becomes the bottleneck (heap-exhausting at depth). Every
-    // touched-sized hub is therefore EAGERLY localCheckpointed — the plan
-    // truncates to the materialized rows — and the pinned RDDs are freed
-    // before returning (same LogicalRDD-id tracking as the CC loop).
-    val pinnedIds = scala.collection.mutable.Set.empty[Int]
-    def pin(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint(true)
-      pinnedIds ++= ck.queryExecution.logical.collect {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id }
-      ck
-    }
 
     // ---- blocking: only keys the new docs EMIT can change membership, so
     // only those are re-routed (merged committed membership + new rows
@@ -578,8 +582,7 @@ object EntityResolution {
     // relations all read committed parquet
     val pairsAffected = affected.count()
     toked.unpersist(); mtokNew.unpersist()
-    pinnedIds.foreach(id =>
-      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    ctx.releasePins()
 
     Result(assignments, scored, blocking, cc.iterations,
       blockCounters ++ Map("docs_added" -> nNew, "docs_total" -> nTotal,
@@ -613,11 +616,8 @@ object EntityResolution {
   private def addDocumentsInsert(spark: SparkSession, newDocs: DataFrame, runDir: String,
                                  cfg: PipelineConfig, runId: String): Result = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def loadStage(stage: String): DataFrame =
-      Snapshots.loadCommitted(spark, runDir, stage).getOrElse(sys.error(
-        s"addDocuments: no committed '$stage' snapshot under $runDir — the base must be a " +
-          "checkpointed batch run of this build (run() with runDir commits the incremental " +
-          s"base stages $StageBlockHot/$StageDocFeatures/$StageMediaDf alongside the main three)"))
+    val ctx = new IncrContext(spark, runDir, "addDocuments/ins")
+    import ctx.{loadStage, gated, pin, tick}
     val oldBlocking = loadStage("blocking")
     val oldScored = loadStage("scored_pairs")
     val oldAssign = loadStage("cluster_assignments")
@@ -627,32 +627,12 @@ object EntityResolution {
     val nOld = Snapshots.lastCounters(runDir, StageMediaDf).getOrElse("n_docs",
       sys.error(s"addDocuments: $StageMediaDf manifest lacks the n_docs counter"))
 
-    var tickNs = System.nanoTime()
-    def tick(phase: String): Unit = {
-      val now = System.nanoTime()
-      System.err.println(f"[addDocuments/ins] $phase%-14s ${(now - tickNs) / 1e9}%.1f s")
-      tickNs = now
-    }
-
     val toked = Blocking.tokenized(newDocs).persist(MEMORY_AND_DISK)
     val nNew = toked.count()
     val dups = toked.select("doc_id").join(oldFeatures.select("doc_id"), "doc_id").count()
     require(dups == 0,
       s"addDocuments: $dups new doc_ids already exist in the committed corpus (increments must be disjoint)")
     tick("tokenize+dup")
-
-    // same plan-hygiene helpers as the exact path: explicit broadcast where
-    // AQE can't see post-aggregation sizes, eager localCheckpoint on every
-    // derived hub (ids tracked, freed before returning)
-    def gated(df: DataFrame): DataFrame =
-      if (df.count() <= 4000000L) broadcast(df) else df
-    val pinnedIds = scala.collection.mutable.Set.empty[Int]
-    def pin(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint(true)
-      pinnedIds ++= ck.queryExecution.logical.collect {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id }
-      ck
-    }
 
     // ---- blocking: frozen committed structure, append-only delta
     val newKeyed = pin(Blocking.keyedDocs(toked, cfg.numBands, cfg.rowsPerBand, cfg.tokenBands))
@@ -670,7 +650,12 @@ object EntityResolution {
     val touchedHot = pin(inHot.select("block_key").distinct())
     val reps = oldHot.join(gated(touchedHot), "block_key")
       .groupBy("block_key").agg(min(col("doc_id")).as("rep"))
-    val hotRows = pin(Blocking.hotInsertRows(inHot, reps, chainSalt = nOld, cfg.maxBlockSize))
+    // the chain salt must be UNIQUE per increment: n_docs is non-monotonic
+    // once removals exist (a same-sized upsert reuses it, colliding this
+    // increment's chain keys with a committed increment's); the blocking
+    // stage's next snapshot id strictly increases with every commit
+    val chainSalt = Snapshots.lastCommitted(runDir, "blocking").getOrElse(-1L) + 1L
+    val hotRows = pin(Blocking.hotInsertRows(inHot, reps, chainSalt, cfg.maxBlockSize))
     val deltaRows = pin(routeRows.unionByName(hotRows))
     val deltaCount = deltaRows.count()
     val baseBlockC = Snapshots.lastCounters(runDir, "blocking")
@@ -766,8 +751,7 @@ object EntityResolution {
     tick("clustering")
 
     toked.unpersist(); mtokNew.unpersist()
-    pinnedIds.foreach(id =>
-      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    ctx.releasePins()
 
     Result(assignments, scored, blocking, cc.iterations,
       blockCounters ++ Map("docs_added" -> nNew, "docs_total" -> nTotal,
@@ -834,36 +818,20 @@ object EntityResolution {
                       cfg: PipelineConfig = PipelineConfig(),
                       runId: String = "remove"): Result = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def loadStage(stage: String): DataFrame =
-      Snapshots.loadCommitted(spark, runDir, stage).getOrElse(sys.error(
-        s"removeDocuments: no committed '$stage' snapshot under $runDir — the base must be a " +
-          "checkpointed run of this build"))
+    val ctx = new IncrContext(spark, runDir, "removeDocuments")
+    import ctx.{loadStage, gated, pin, tick}
     val oldBlocking = loadStage("blocking")
-    val oldScored = loadStage("scored_pairs")
+    // scored_pairs is this operation's dominant relation and feeds ~6
+    // actions below (retraction, lost-edge derivation, heal anti-join,
+    // surviving-edge derivation): persist the RESOLVED relation once so a
+    // deep delta chain's merge-on-read is not re-executed per consumer
+    val oldScored = loadStage("scored_pairs").persist(MEMORY_AND_DISK)
     val oldAssign = loadStage("cluster_assignments")
     val oldFeatures = loadStage(StageDocFeatures)
     val oldHot = loadStage(StageBlockHot)
     val oldDf = loadStage(StageMediaDf)
     val nOld = Snapshots.lastCounters(runDir, StageMediaDf).getOrElse("n_docs",
       sys.error(s"removeDocuments: $StageMediaDf manifest lacks the n_docs counter"))
-
-    var tickNs = System.nanoTime()
-    def tick(phase: String): Unit = {
-      val now = System.nanoTime()
-      System.err.println(f"[removeDocuments] $phase%-14s ${(now - tickNs) / 1e9}%.1f s")
-      tickNs = now
-    }
-
-    // same plan-hygiene helpers as the add paths (see addDocumentsExact)
-    def gated(df: DataFrame): DataFrame =
-      if (df.count() <= 4000000L) broadcast(df) else df
-    val pinnedIds = scala.collection.mutable.Set.empty[Int]
-    def pin(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint(true)
-      pinnedIds ++= ck.queryExecution.logical.collect {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id }
-      ck
-    }
 
     val removed = pin(docIds.select(col("doc_id")).distinct())
     val removedB = gated(removed)
@@ -931,16 +899,33 @@ object EntityResolution {
     val nRmPairs = rmPairs.count()
     val strong = oldScored.where(col("score") >= cfg.scoreThreshold)
       .select("doc_id_a", "doc_id_b")
+    // connectivity may run THROUGH a chain of removed docs (k1–r1–r2–k2
+    // with r1 AND r2 removed): group the removed docs over removed↔removed
+    // strong edges and bridge each GROUP's surviving neighborhood — healing
+    // per removed doc alone would never emit the (k1,k2) candidate and the
+    // cluster would silently split where a batch run keeps it whole. The
+    // grouping CC runs over the removed subgraph only: O(removed pairs)
+    val rmEdges = strong.join(rmA, "doc_id_a").join(rmB2, "doc_id_b")
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    val rmCc = ConnectedComponents.assignAllTracked(spark, removed.select("doc_id"), rmEdges,
+      cfg.maxCcIter, pairsPreDeduped = true)
+    val rmGroups = pin(rmCc.assignments
+      .select(col("doc_id").as("gone"), col("cluster_id").as("grp")))
+    rmCc.releaseCheckpoints(spark)
     val lost = pin(
       strong.join(rmA, "doc_id_a").join(rmB2, Seq("doc_id_b"), "left_anti")
         .select(col("doc_id_a").as("gone"), col("doc_id_b").as("kept"))
       .unionByName(
         strong.join(rmB2, "doc_id_b").join(rmA, Seq("doc_id_a"), "left_anti")
-          .select(col("doc_id_b").as("gone"), col("doc_id_a").as("kept"))))
+          .select(col("doc_id_b").as("gone"), col("doc_id_a").as("kept")))
+      // the same survivor can neighbor several docs of one group — dedup or
+      // the window would chain a survivor to itself
+      .join(gated(rmGroups), "gone")
+      .select("grp", "kept").dropDuplicates("grp", "kept"))
     // neighbors sorted lexicographically, so consecutive pairs are already
-    // canonical (a < b); |N|-1 pairs per removed doc reconnect exactly what
-    // it connected, subject to re-scoring
-    val wNext = org.apache.spark.sql.expressions.Window.partitionBy("gone").orderBy("kept")
+    // canonical (a < b); |N|-1 pairs per removed GROUP reconnect exactly
+    // what the group connected, subject to re-scoring
+    val wNext = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("kept")
     val healCand = pin(lost
       .select(col("kept"), lead(col("kept"), 1).over(wNext).as("next"))
       .where(col("next").isNotNull)
@@ -995,8 +980,8 @@ object EntityResolution {
     val clustersActive = activeCl.count()
     tick("clustering")
 
-    pinnedIds.foreach(id =>
-      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    ctx.releasePins()
+    oldScored.unpersist(false)
 
     Result(assignments, scored, blocking, cc.iterations,
       blockCounters ++ Map("docs_removed" -> nRemoved, "docs_total" -> nTotal,
@@ -1028,10 +1013,18 @@ object EntityResolution {
       .select("doc_id")
     val toRemove = ids.join(committed, Seq("doc_id"), "left_semi")
     val nReplaced = toRemove.count()
-    if (nReplaced > 0)
-      removeDocuments(spark, toRemove, runDir, cfg, runId = s"$runId-rm")
+    // the retraction half's call-specific counters ride on the returned
+    // Result under an rm_ prefix — an upsert that retracts millions of
+    // pairs must be distinguishable from a no-op retraction in the metrics
+    val rmCounters: Map[String, Long] =
+      if (nReplaced == 0) Map.empty
+      else {
+        val rm = removeDocuments(spark, toRemove, runDir, cfg, runId = s"$runId-rm")
+        Seq("pairs_removed", "heal_pairs_scored", "clusters_recomputed")
+          .flatMap(k => rm.counters.get(k).map(("rm_" + k) -> _)).toMap
+      }
     val ins = addDocuments(spark, newVersions, runDir, cfg, runId = s"$runId-ins")
-    ins.copy(counters = ins.counters + ("docs_replaced" -> nReplaced))
+    ins.copy(counters = ins.counters ++ rmCounters + ("docs_replaced" -> nReplaced))
   }
 
   /** MAJOR-compact every stage of a committed run: each stage's delta

@@ -26,9 +26,16 @@ class IncrShuffleSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       val r = f
-      // the listener bus is async: poll until the tally is quiescent
+      // the listener bus is async: require the tally stable across THREE
+      // consecutive 500 ms reads (a single-interval check can end early on
+      // a bus stall — GC pause or slow drain — and undercount)
+      var stable = 0
       var prev = -1L
-      while (prev != bytes.get()) { prev = bytes.get(); Thread.sleep(300) }
+      while (stable < 3) {
+        Thread.sleep(500)
+        val now = bytes.get()
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
       (r, bytes.get())
     } finally spark.sparkContext.removeSparkListener(l)
   }
