@@ -76,12 +76,34 @@ object Bench {
     * leg auditable for ambient load after the fact.
     */
   final case class Leg(threads: Int, rep: Int, docs: Long, wall: Double,
-                       jobs: Long, taskSec: Double, cpuSec: Double) {
+                       jobs: Long, taskSec: Double, cpuSec: Double,
+                       calMs: Double = 0.0) {
     def parallelUse: Double = if (wall <= 0) 0.0 else taskSec / (wall * threads)
     def json(vetoed: Boolean): String =
       f"""{"threads":$threads,"rep":$rep,"wall_sec":$wall%.3f,"jobs":$jobs,""" +
         f""""task_sec":$taskSec%.1f,"cpu_sec":$cpuSec%.1f,"parallel_use":$parallelUse%.3f,""" +
-        s""""vetoed":$vetoed}"""
+        f""""cal_ms":$calMs%.1f,"vetoed":$vetoed}"""
+  }
+
+  /** Spark-independent ambient-load probe: wall of a fixed single-thread
+    * CPU-bound kernel (xorshift64 sum, 5·10⁷ steps; min of 3 after one
+    * warm-up run). On a quiet core this is a machine constant, and
+    * hypervisor contention (CPU steal — which `uptime` load average does
+    * NOT see) inflates it proportionally, so the per-leg `cal_ms` in the
+    * artifact separates "the engine got slower" from "the box got slower"
+    * without reference to any Spark metric. Informational only: the veto
+    * stays keyed on task-CPU inflation (BenchEstimatorSpec).
+    */
+  private def calibrate(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var s = 0L; var i = 0
+      while (i < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1 }
+      if (s == 42L) System.err.print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    once()
+    math.min(once(), math.min(once(), once()))
   }
 
   /** The census-vetted official estimate + the pair-median secondary, as a
