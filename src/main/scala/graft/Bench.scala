@@ -176,6 +176,9 @@ object Bench {
       }
     })
     try {
+      // sample this leg's ambient window BEFORE the timed work (outside
+      // the measured wall): cal_ms rides in the leg census
+      val cal = calibrate()
       val t0 = System.nanoTime()
       // no docs cache: the pipeline scans its source exactly once (into
       // the shared tokenized relation), so columnar-caching the nested
@@ -185,9 +188,10 @@ object Bench {
       val n = res.assignments.count()
       res.release()
       val wall = (System.nanoTime() - t0) / 1e9
-      val leg = Leg(threads, rep, n, wall, jobs.get, taskMs.get / 1e3, cpuNs.get / 1e9)
+      val leg = Leg(threads, rep, n, wall, jobs.get, taskMs.get / 1e3, cpuNs.get / 1e9, cal)
       System.err.println(f"[erRun threads=$threads rep=$rep] wall=$wall%.1f s jobs=${jobs.get} " +
-        f"taskTime=${leg.taskSec}%.1f s cpuTime=${leg.cpuSec}%.1f s parallelUse=${leg.parallelUse * 100}%.0f%%")
+        f"taskTime=${leg.taskSec}%.1f s cpuTime=${leg.cpuSec}%.1f s parallelUse=${leg.parallelUse * 100}%.0f%% " +
+        f"cal=${cal}%.0f ms")
       leg
     } finally {
       spark.stop()
