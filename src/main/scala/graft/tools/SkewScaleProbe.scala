@@ -1,0 +1,82 @@
+package graft.tools
+
+import graft.eval.Eval
+import graft.pipeline.EntityResolution
+import graft.synth.{DocGen, GenConfig}
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc entity-skew-at-scale probe (not part of the library surface):
+  * runMain graft.tools.SkewScaleProbe [threads] [entities] [head]
+  *
+  * The headroom table (BENCH/BASELINE.md) scales the UNIFORM corpus up;
+  * this probe scales the block-size cap's OTHER failure axis — a
+  * power-law entity-size distribution (head entity = `head` docs, tail
+  * f(i) = max(dpe, head/(i+1))) at bench-scale doc counts. Every key a
+  * 256-doc entity emits is over-cap, so its entire recall rides on the
+  * refinement + chain recovery paths; the suite proves the semantics at
+  * 300 entities (PipelineSpec), this measures wall/throughput/F1 with
+  * cluster equality at ~600k docs. Corpus generation is untimed (written
+  * to tmpfs parquet first, same rule as the bench legs).
+  */
+object SkewScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val threads = if (args.nonEmpty) args(0).toInt else 32
+    val entities = if (args.length > 1) args(1).toInt else 190000
+    val head = if (args.length > 2) args(2).toInt else 256
+    val spark = SparkSession.builder().master(s"local[$threads]")
+      .appName("graft-skew-scale-probe")
+      .config("spark.sql.shuffle.partitions", threads * 4)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", s"/dev/shm/graft-skewprobe-shuffle-${ProcessHandle.current().pid()}")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = s"/dev/shm/graft-skewscale-${ProcessHandle.current().pid()}"
+    try {
+      val cfg = GenConfig(numEntities = entities, docsPerEntity = 3, seed = 42L)
+      val corpusDir = s"$root/corpus"
+      DocGen.docsSkewed(spark, cfg, head).toDF()
+        .write.mode("overwrite").parquet(corpusDir)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
+      val docs = spark.read.parquet(corpusDir)
+      val t0 = System.nanoTime()
+      val res = EntityResolution.run(spark, docs)
+      val nDocs = res.assignments.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val gold = DocGen.goldSkewed(spark, cfg, head).toDF().cache()
+      gold.count()
+      val labeled = EntityResolution.labeledPairs(res.blocking, gold).cache()
+      val (gpTotal, gpBlocked, gpMissed) = Eval.blockingTail(labeled, gold)
+      val m = Eval.pairwiseF1(res.assignments, labeled)
+      val eq = Eval.clusterEquality(res.assignments, gold)
+      // make the distance from exact equality legible: entities whose docs
+      // span >1 predicted cluster (splits) and predicted clusters mixing
+      // >1 entity (merges)
+      import org.apache.spark.sql.functions.{col, countDistinct}
+      val joined = res.assignments.join(gold, "doc_id").cache()
+      val nSplit = joined.groupBy("entity_id")
+        .agg(countDistinct(col("cluster_id")).as("k")).where(col("k") > 1).count()
+      val nMerge = joined.groupBy("cluster_id")
+        .agg(countDistinct(col("entity_id")).as("k")).where(col("k") > 1).count()
+      joined.unpersist()
+      val cnt = res.counters
+      res.release(keepAssignments = false)
+      labeled.unpersist(); gold.unpersist()
+      println(f"""{"docs":$nDocs,"entities":$entities,"head_entity_docs":$head,""" +
+        f""""wall_sec":$wall%.1f,"docs_per_sec":${nDocs / wall}%.0f,""" +
+        f""""f1":${m.f1}%.6f,"precision":${m.precision}%.6f,"recall":${m.recall}%.6f,""" +
+        f""""cluster_equality":$eq,"entities_split":$nSplit,"clusters_mixed":$nMerge,""" +
+        f""""cc_iterations":${cnt.getOrElse("cc_iterations", -1L)},""" +
+        f""""capped_block_keys":${cnt.getOrElse("capped_block_keys", -1L)},""" +
+        f""""capped_doc_rows":${cnt.getOrElse("capped_doc_rows", -1L)},""" +
+        f""""gold_pairs_total":$gpTotal,"gold_pairs_blocked":$gpBlocked,""" +
+        f""""gold_pairs_missed":$gpMissed}""")
+    } finally {
+      spark.stop()
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      new scala.reflect.io.Directory(new java.io.File(
+        s"/dev/shm/graft-skewprobe-shuffle-${ProcessHandle.current().pid()}")).deleteRecursively()
+    }
+  }
+}
