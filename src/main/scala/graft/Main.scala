@@ -14,6 +14,7 @@ import org.apache.spark.sql.SparkSession
   *              [--add-entities N] [--add-seed S] [--exact] [--compact]
   *              [--remove-entities N] [--replace-entities N] [--expire-keep K]
   *              [--ingest WATCH_DIR] [--compact-every K] [--repair]
+  *              [--audit] [--audit-repair] [--audit-strong S] [--audit-min-side M]
   *
   * Synthesizes the deterministic docs corpus (BASELINE.json input_hint
   * shape), runs blocking → scoring → clustering (checkpointed to
@@ -74,6 +75,14 @@ import org.apache.spark.sql.SparkSession
   * Run it per arrival (cron-style) or leave a producer dropping files
   * and re-invoke — the deployment loop. `--repair` first trims an
   * increment interrupted mid-commit back to the consistent floor.
+  *
+  * `--audit` (with --run-dir): CLUSTER-QUALITY CENSUS — read-only cohesion
+  * report over the committed clustering (bridge structure of every
+  * multi-doc cluster's accepted-edge graph). `--audit-repair` additionally
+  * CUTS weak bridges (score < `--audit-strong`, both sides ≥
+  * `--audit-min-side` docs) and commits the repair as delta snapshots +
+  * standing pair tombstones ([[EntityResolution.auditRepair]]), reporting
+  * pairwise F1 before/after vs the base-flag gold.
   */
 object Main {
 
@@ -177,6 +186,59 @@ object Main {
       s""""seconds":$secs,"counters":$counters$evalJson}"""
   }
 
+  /** Runnable surface over [[graft.operators.ClusterAudit]] /
+    * [[EntityResolution.auditRepair]]: cohesion census of the committed
+    * clustering (always), plus — when `commit` — the weak-bridge repair
+    * committed as scored_pairs/cluster_assignments deltas + standing pair
+    * tombstones, with pairwise F1 before/after against the gold
+    * regenerated from the BASE corpus flags (repeat the base run's values;
+    * use --no-eval on histories whose corpus the base flags no longer
+    * describe). Returns the JSON metrics line.
+    */
+  def auditRun(spark: SparkSession, dir: String, baseCfg: GenConfig,
+               acfg: graft.operators.ClusterAudit.AuditConfig,
+               commit: Boolean, doEval: Boolean): String = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val assignBefore = graft.ckpt.Snapshots.loadCommitted(spark, dir, "cluster_assignments")
+      .getOrElse(sys.error(s"--audit: no committed cluster_assignments under $dir"))
+    val scored = graft.ckpt.Snapshots.loadCommitted(spark, dir, "scored_pairs")
+      .getOrElse(sys.error(s"--audit: no committed scored_pairs under $dir"))
+    // census over multi-doc clusters (over-cap rows carry n_bridges = -1:
+    // excluded from the bridge sums, counted in their own column)
+    val coh = graft.operators.ClusterAudit.cohesion(assignBefore, scored, acfg).toDF()
+    val c = coh.agg(
+      count(lit(1)), coalesce(sum(when(col("over_cap"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(!col("connected"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(!col("over_cap"), col("n_bridges")).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(!col("over_cap"), col("n_weak_bridges")).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("n_weak_bridges") > 0, 1L).otherwise(0L)), lit(0L))
+    ).collect()(0)
+    val censusJson =
+      s""""clusters_multi_doc":${c.getLong(0)},"clusters_over_cap":${c.getLong(1)},""" +
+      s""""clusters_disconnected":${c.getLong(2)},"bridges":${c.getLong(3)},""" +
+      s""""weak_bridges":${c.getLong(4)},"clusters_with_weak_bridge":${c.getLong(5)}"""
+    val repairJson = if (commit) {
+      val res = EntityResolution.auditRepair(spark, dir, acfg)
+      val counters = res.counters.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val evalJson = if (doEval) {
+        val gold = DocGen.gold(spark, baseCfg).toDF()
+        val blocking = graft.ckpt.Snapshots.loadCommitted(spark, dir, "blocking").get
+        val labeled = EntityResolution.labeledPairs(blocking, gold).cache()
+        val before = Eval.pairwiseF1(assignBefore, labeled)
+        val after = Eval.pairwiseF1(res.assignments, labeled)
+        labeled.unpersist()
+        s""","f1_before":${before.f1},"precision_before":${before.precision},""" +
+          s""""recall_before":${before.recall},"f1_after":${after.f1},""" +
+          s""""precision_after":${after.precision},"recall_after":${after.recall},""" +
+          s""""cluster_equality_after":${Eval.clusterEquality(res.assignments, gold)}"""
+      } else ""
+      s""","repair":$counters$evalJson"""
+    } else ""
+    s"""{"audit":{$censusJson},"seconds":${(System.nanoTime() - t0) / 1e9}$repairJson}"""
+  }
+
   /** Read-only re-evaluation of an older cluster_assignments snapshot
     * (the runnable time-travel surface over Snapshots.loadSnapshot).
     */
@@ -274,6 +336,18 @@ object Main {
       println(s"""{"ingested_snapshots":${after - before},"docs_total":$docsTotal,""" +
         s""""clusters":${assign.select("cluster_id").distinct().count()},""" +
         s""""last_snapshot_id":$after,"seconds":${(System.nanoTime() - t0) / 1e9}}""")
+      spark.stop()
+      return
+    }
+
+    if (flags.contains("--audit") || flags.contains("--audit-repair")) {
+      val dir = runDir.getOrElse(
+        sys.error("--audit requires --run-dir (the committed run to audit)"))
+      val acfg = graft.operators.ClusterAudit.AuditConfig(
+        strongScore = opts.getOrElse("--audit-strong", "0.75").toDouble,
+        minSideDocs = opts.getOrElse("--audit-min-side", "2").toInt)
+      println(auditRun(spark, dir, cfg, acfg,
+        commit = flags.contains("--audit-repair"), doEval))
       spark.stop()
       return
     }

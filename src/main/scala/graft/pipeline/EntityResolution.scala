@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.ckpt.Snapshots
 import graft.eval.Eval
-import graft.operators.{Blocking, ConnectedComponents, PairScoring}
+import graft.operators.{Blocking, ClusterAudit, ConnectedComponents, PairScoring}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,6 +35,17 @@ object EntityResolution {
   val StageBlockHot = "block_hot"
   val StageDocFeatures = "doc_features"
   val StageMediaDf = "media_df"
+
+  /** Standing pair TOMBSTONES written by [[auditRepair]]: pairs the audit
+    * cut as false-merge bridges. Later increments derive "fresh" pairs by
+    * anti-joining candidates against the committed scored set — a cut pair
+    * is no longer IN that set, so without the tombstones an increment
+    * touching its block would innocently re-derive, re-score, and
+    * re-accept it, silently undoing the repair. Every fresh-pair
+    * derivation therefore also anti-joins this stage (LSM delete-tombstone
+    * semantics). O(cuts) rows — broadcast-sized by construction.
+    */
+  val StageAuditTombstones = "audit_tombstones"
 
   final case class PipelineConfig(
       /** 12 bands × 4 minhash rows: same-entity recall per band ≈ j⁴
@@ -384,6 +395,14 @@ object EntityResolution {
         "committed hot-key recovery rows were derived over pre-removal membership, so an " +
         "\"exact\" extension would silently differ from a batch run over the surviving corpus. " +
         "Either continue with insert mode (the default) or re-run the batch pipeline")
+    // an audit repair retracts pairs a batch run would re-derive and
+    // re-accept — "exact" extension of an audited history cannot be
+    // batch-equal either (the tombstones are deliberate divergence)
+    require(Snapshots.lastCommitted(runDir, StageAuditTombstones).isEmpty,
+      s"addDocuments(exact = true): the run at $runDir carries audit-repair pair tombstones " +
+        "(auditRepair cut false-merge bridges a batch run over the corpus would re-derive), " +
+        "so an \"exact\" extension cannot be batch-equal. Either continue with insert mode " +
+        "(the default, which honors the tombstones) or re-run the batch pipeline and re-audit")
     val oldBlocking = loadStage("blocking")
     val oldScored = loadStage("scored_pairs")
     val oldAssign = loadStage("cluster_assignments")
@@ -688,8 +707,12 @@ object EntityResolution {
       .select(col("block_key"), col("doc_id"))
     val cand = Blocking.candidatePairs(
       deltaRows.select(col("block_key"), col("doc_id")).unionByName(oldAtKeys))
-    val fresh = pin(cand.join(oldScored.select("doc_id_a", "doc_id_b"),
-      Seq("doc_id_a", "doc_id_b"), "left_anti"))
+    val fresh0 = cand.join(oldScored.select("doc_id_a", "doc_id_b"),
+      Seq("doc_id_a", "doc_id_b"), "left_anti")
+    // audit tombstones: a pair auditRepair cut must not be re-derived as
+    // "fresh" just because this increment touched its block
+    val fresh = pin(Snapshots.loadCommitted(spark, runDir, StageAuditTombstones)
+      .fold(fresh0)(ts => fresh0.join(broadcast(ts), Seq("doc_id_a", "doc_id_b"), "left_anti")))
     tick("pairs")
 
     // ---- features: merged document frequencies give EXACT batch idf
@@ -932,6 +955,9 @@ object EntityResolution {
       .select(col("kept").as("doc_id_a"), col("next").as("doc_id_b"))
       .dropDuplicates("doc_id_a", "doc_id_b")
       .join(oldScored.select("doc_id_a", "doc_id_b"), Seq("doc_id_a", "doc_id_b"), "left_anti")
+      // a pair auditRepair tombstoned must not come back as a heal bridge
+      .transform(df => Snapshots.loadCommitted(spark, runDir, StageAuditTombstones)
+        .fold(df)(ts => df.join(broadcast(ts), Seq("doc_id_a", "doc_id_b"), "left_anti")))
       .withColumn("block_key",
         Blocking.famTag(Blocking.Family.Heal, xxhash64(col("doc_id_a"), col("doc_id_b")))))
     val w = spark.read.parquet(cDf.path)
@@ -990,6 +1016,79 @@ object EntityResolution {
         "cc_iterations" -> cc.iterations.toLong))
   }
 
+  /** AUDIT-REPAIR (the fourth incremental verb): post-clustering
+    * cluster-quality audit over a committed run — find clusters glued by
+    * near-threshold BRIDGE pairs ([[ClusterAudit]]: a false merge is one
+    * accepted cross-entity pair joining two dense subgraphs; its pairwise
+    * false-positive cost is |A|·|B|) and cut them.
+    *
+    * When the audit cuts nothing, NOTHING is committed (the run history
+    * does not grow) and the returned counters say so
+    * (`audit_committed = 0`). When it cuts:
+    *
+    *  - scored_pairs: the cut pairs are keyed-RETRACTED (a delta snapshot
+    *    — the audit removes the bridge's testimony, it never merely
+    *    relabels around it), and
+    *  - [[StageAuditTombstones]] records them durably, so later insert/
+    *    heal increments cannot innocently re-derive and re-accept a cut
+    *    pair when an arrival touches its block (LSM delete-tombstone
+    *    semantics; `exact = true` increments refuse audited histories —
+    *    tombstones are deliberate divergence from the batch twin);
+    *  - cluster_assignments: every cut cluster's docs are re-labeled to
+    *    min doc_id of their side (a delta snapshot; untouched clusters
+    *    never move).
+    *
+    * All compute is O(≥-threshold edges) for the one census join + cogroup
+    * and O(changed clusters) after; idempotent — re-running the audit on
+    * an audited history finds the cut bridges gone and commits nothing.
+    */
+  def auditRepair(spark: SparkSession, runDir: String,
+                  audit: ClusterAudit.AuditConfig = ClusterAudit.AuditConfig(),
+                  runId: String = "audit"): Result = {
+    val ctx = new IncrContext(spark, runDir, "auditRepair")
+    import ctx.{loadStage, pin, tick}
+    val oldScored = loadStage("scored_pairs")
+    val oldAssign = loadStage("cluster_assignments")
+    val r = ClusterAudit.repair(oldAssign, oldScored, audit)
+    tick("audit")
+    if (r.counters("audit_clusters_cut") == 0L) {
+      r.release()
+      Result(oldAssign, oldScored, loadStage("blocking"), 0,
+        r.counters + ("audit_committed" -> 0L))
+    } else {
+      val cutPairs = pin(r.cutPairs)
+      val changed = pin(r.changedAssignments)
+      val changedCl = pin(r.changedClusters)
+      r.release()
+      val nCut = cutPairs.count()
+      val basePairRows = Snapshots.lastRows(runDir, "scored_pairs").getOrElse(0L)
+      val scoredCounters = Snapshots.lastCounters(runDir, "scored_pairs")
+      Snapshots.commitDelta(spark, oldScored.limit(0).repartition(1),
+        Some((cutPairs, Seq("doc_id_a", "doc_id_b"))),
+        runDir, "scored_pairs", runId,
+        Map("docs_scored_against" -> scoredCounters.getOrElse("docs_scored_against", 0L),
+          "audit_cut_pairs" -> nCut),
+        basePairRows - nCut)
+      if (Snapshots.lastCommitted(runDir, StageAuditTombstones).isEmpty)
+        Snapshots.commit(spark, cutPairs, runDir, StageAuditTombstones, runId,
+          Map("tombstoned_pairs" -> nCut))
+      else {
+        val baseTs = Snapshots.lastRows(runDir, StageAuditTombstones).getOrElse(0L)
+        Snapshots.commitDelta(spark, cutPairs, None, runDir, StageAuditTombstones, runId,
+          Map("tombstoned_pairs" -> (baseTs + nCut)), baseTs + nCut)
+      }
+      val baseAssignRows = Snapshots.lastRows(runDir, "cluster_assignments").getOrElse(0L)
+      Snapshots.commitDelta(spark, changed, Some((changedCl, Seq("cluster_id"))),
+        runDir, "cluster_assignments", runId,
+        r.counters + ("audit_committed" -> 1L), baseAssignRows)
+      tick("commit")
+      ctx.releasePins()
+      Result(loadStage("cluster_assignments"), loadStage("scored_pairs"),
+        loadStage("blocking"), 0,
+        r.counters ++ Map("audit_cut_pairs_removed" -> nCut, "audit_committed" -> 1L))
+    }
+  }
+
   /** UPSERT: replace committed documents with new versions (and insert any
     * genuinely new doc_ids in the same call) — the third incremental verb a
     * standing deployment needs (daily feeds carry revisions alongside fresh
@@ -1037,8 +1136,10 @@ object EntityResolution {
     * compaction, see [[addDocuments]]).
     */
   def compactRun(spark: SparkSession, runDir: String, runId: String = "compact"): Unit =
-    Seq("blocking", "scored_pairs", "cluster_assignments",
-      StageBlockHot, StageDocFeatures, StageMediaDf)
+    (Seq("blocking", "scored_pairs", "cluster_assignments",
+      StageBlockHot, StageDocFeatures, StageMediaDf) ++
+      // tombstones exist only on audited histories
+      Snapshots.lastCommitted(runDir, StageAuditTombstones).map(_ => StageAuditTombstones))
       .foreach(stage => Snapshots.compact(spark, runDir, stage, runId))
 
   /** DESTRUCTIVE: retire old snapshots of every stage, keeping the newest
@@ -1051,7 +1152,7 @@ object EntityResolution {
     */
   def expireRun(runDir: String, keepLast: Int = 1): Map[String, Seq[Long]] =
     Seq("blocking", "scored_pairs", "cluster_assignments",
-      StageBlockHot, StageDocFeatures, StageMediaDf)
+      StageBlockHot, StageDocFeatures, StageMediaDf, StageAuditTombstones)
       .map(stage => stage -> Snapshots.expire(runDir, stage, keepLast)).toMap
 
   /** Derive labeled pairs at shared blocking keys (FIXTURES.md §2):

@@ -6,7 +6,7 @@ import graft.synth.{DocGen, GenConfig}
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc entity-skew-at-scale probe (not part of the library surface):
-  * runMain graft.tools.SkewScaleProbe [threads] [entities] [head]
+  * runMain graft.tools.SkewScaleProbe [threads] [entities] [head] [strong] [minSide]
   *
   * The headroom table (BENCH/BASELINE.md) scales the UNIFORM corpus up;
   * this probe scales the block-size cap's OTHER failure axis — a
@@ -17,6 +17,14 @@ import org.apache.spark.sql.SparkSession
   * 300 entities (PipelineSpec), this measures wall/throughput/F1 with
   * cluster equality at ~600k docs. Corpus generation is untimed (written
   * to tmpfs parquet first, same rule as the bench legs).
+  *
+  * After the pipeline metrics it also runs the post-clustering WEAK-BRIDGE
+  * audit (ClusterAudit.repair, strong/minSide from args 3/4, defaults
+  * 0.75/2) and reports precision/recall/F1 and the merge/split tails
+  * before vs after — the measured answer to "does the audit cut the mixed
+  * clusters without splitting real entities" on the corpus that first
+  * exhibited the merge tail (BENCH/round5_skew_scale.json: 2 mixed
+  * clusters of 190k entities).
   */
 object SkewScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -61,6 +69,27 @@ object SkewScaleProbe {
         .agg(countDistinct(col("entity_id")).as("k")).where(col("k") > 1).count()
       joined.unpersist()
       val cnt = res.counters
+
+      // --- weak-bridge audit: repair in memory, re-measure the tails
+      val strong = if (args.length > 3) args(3).toDouble else 0.75
+      val minSide = if (args.length > 4) args(4).toInt else 2
+      val acfg = graft.operators.ClusterAudit.AuditConfig(
+        strongScore = strong, minSideDocs = minSide)
+      val ta = System.nanoTime()
+      val rep = graft.operators.ClusterAudit.repair(res.assignments, res.scoredPairs, acfg)
+      val repaired = rep.assignments.cache()
+      repaired.count()
+      val auditWall = (System.nanoTime() - ta) / 1e9
+      val m2 = Eval.pairwiseF1(repaired, labeled)
+      val joined2 = repaired.join(gold, "doc_id").cache()
+      val nSplit2 = joined2.groupBy("entity_id")
+        .agg(countDistinct(col("cluster_id")).as("k")).where(col("k") > 1).count()
+      val nMerge2 = joined2.groupBy("cluster_id")
+        .agg(countDistinct(col("entity_id")).as("k")).where(col("k") > 1).count()
+      joined2.unpersist()
+      val ac = rep.counters
+      rep.release(); repaired.unpersist()
+
       res.release(keepAssignments = false)
       labeled.unpersist(); gold.unpersist()
       println(f"""{"docs":$nDocs,"entities":$entities,"head_entity_docs":$head,""" +
@@ -71,7 +100,16 @@ object SkewScaleProbe {
         f""""capped_block_keys":${cnt.getOrElse("capped_block_keys", -1L)},""" +
         f""""capped_doc_rows":${cnt.getOrElse("capped_doc_rows", -1L)},""" +
         f""""gold_pairs_total":$gpTotal,"gold_pairs_blocked":$gpBlocked,""" +
-        f""""gold_pairs_missed":$gpMissed}""")
+        f""""gold_pairs_missed":$gpMissed,""" +
+        f""""audit":{"strong":$strong,"min_side":$minSide,"wall_sec":$auditWall%.1f,""" +
+        f""""bridges_cut":${ac("audit_bridges_cut")},""" +
+        f""""clusters_cut":${ac("audit_clusters_cut")},""" +
+        f""""docs_reassigned":${ac("audit_docs_reassigned")},""" +
+        f""""clusters_over_cap":${ac("audit_clusters_over_cap")},""" +
+        f""""clusters_disconnected":${ac("audit_clusters_disconnected")},""" +
+        f""""f1_after":${m2.f1}%.6f,"precision_after":${m2.precision}%.6f,""" +
+        f""""recall_after":${m2.recall}%.6f,""" +
+        f""""entities_split_after":$nSplit2,"clusters_mixed_after":$nMerge2}}""")
     } finally {
       spark.stop()
       new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphKernelsSpec extends AnyFunSuite {
+
+  private def E(es: (Int, Int)*): Array[(Int, Int)] = es.toArray
+
+  test("bridges: every edge of a path is a bridge") {
+    val br = GraphKernels.bridges(4, E(0 -> 1, 1 -> 2, 2 -> 3))
+    assert(br.sorted.toSeq == Seq(0, 1, 2))
+  }
+
+  test("bridges: a cycle has none") {
+    assert(GraphKernels.bridges(3, E(0 -> 1, 1 -> 2, 2 -> 0)).isEmpty)
+  }
+
+  test("bridges: two triangles joined by one edge — exactly that edge") {
+    val edges = E(0 -> 1, 1 -> 2, 2 -> 0, 3 -> 4, 4 -> 5, 5 -> 3, 2 -> 3)
+    assert(GraphKernels.bridges(6, edges).toSeq == Seq(6))
+  }
+
+  test("bridges: a parallel (duplicated) edge is never a bridge") {
+    assert(GraphKernels.bridges(2, E(0 -> 1, 0 -> 1)).isEmpty)
+    // but a genuinely single edge next to the pair still is
+    val br = GraphKernels.bridges(3, E(0 -> 1, 0 -> 1, 1 -> 2))
+    assert(br.toSeq == Seq(2))
+  }
+
+  test("bridges: found independently per component") {
+    val br = GraphKernels.bridges(5, E(0 -> 1, 2 -> 3, 3 -> 4))
+    assert(br.sorted.toSeq == Seq(0, 1, 2))
+  }
+
+  test("components: labels are the component's min node index; skip respected") {
+    val edges = E(0 -> 1, 1 -> 2, 3 -> 4, 2 -> 3)
+    assert(GraphKernels.components(5, edges, _ => false).toSeq == Seq(0, 0, 0, 0, 0))
+    val split = GraphKernels.components(5, edges, _ == 3) // drop 2-3
+    assert(split.toSeq == Seq(0, 0, 0, 3, 3))
+  }
+
+  private val twoTriangles = E(0 -> 1, 1 -> 2, 2 -> 0, 3 -> 4, 4 -> 5, 5 -> 3, 2 -> 3)
+
+  test("repair: weak bridge between two triangles is cut; sides re-label by min") {
+    val scores = Array(0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.65)
+    val r = GraphKernels.weakBridgeRepair(6, twoTriangles, scores, strong = 0.75, minSide = 2)
+    assert(r.cutEdges.toSeq == Seq(6))
+    assert(r.labels.toSeq == Seq(0, 0, 0, 3, 3, 3))
+  }
+
+  test("repair: a strong bridge is trusted structure — never cut") {
+    val scores = Array(0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.80)
+    val r = GraphKernels.weakBridgeRepair(6, twoTriangles, scores, strong = 0.75, minSide = 2)
+    assert(r.cutEdges.isEmpty)
+    assert(r.labels.forall(_ == 0))
+  }
+
+  test("repair: a weak PENDANT edge (one-doc side) is recall, not a merge — kept at minSide 2") {
+    val edges = E(0 -> 1, 1 -> 2, 2 -> 0, 2 -> 3)
+    val scores = Array(0.9, 0.9, 0.9, 0.62)
+    val keep = GraphKernels.weakBridgeRepair(4, edges, scores, strong = 0.75, minSide = 2)
+    assert(keep.cutEdges.isEmpty)
+    val cut = GraphKernels.weakBridgeRepair(4, edges, scores, strong = 0.75, minSide = 1)
+    assert(cut.cutEdges.toSeq == Seq(3))
+    assert(cut.labels.toSeq == Seq(0, 0, 0, 3))
+  }
+
+  test("repair: greedy cuts weakest first; chained weak bridges all fall when sides stay big enough") {
+    // A{0,1,2} -(.61)- B{3,4,5} -(.65)- C{6,7,8}
+    val edges = E(0 -> 1, 1 -> 2, 2 -> 0, 3 -> 4, 4 -> 5, 5 -> 3,
+      6 -> 7, 7 -> 8, 8 -> 6, 2 -> 3, 5 -> 6)
+    val scores = Array(0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.61, 0.65)
+    val r = GraphKernels.weakBridgeRepair(9, edges, scores, strong = 0.75, minSide = 2)
+    assert(r.cutEdges.toSeq == Seq(9, 10)) // weakest first
+    assert(r.labels.toSeq == Seq(0, 0, 0, 3, 3, 3, 6, 6, 6))
+    val capped = GraphKernels.weakBridgeRepair(9, edges, scores, strong = 0.75, minSide = 2,
+      maxCuts = 1)
+    assert(capped.cutEdges.toSeq == Seq(9))
+  }
+
+  test("repair: side-size guard re-evaluates against the surviving graph") {
+    // path of pairs: {0,1} -(.6)- {2,3} with pair edges strong; the middle
+    // bridge qualifies (2 vs 2); after the cut, nothing else can
+    val edges = E(0 -> 1, 2 -> 3, 1 -> 2)
+    val scores = Array(0.9, 0.9, 0.6)
+    val r = GraphKernels.weakBridgeRepair(4, edges, scores, strong = 0.75, minSide = 2)
+    assert(r.cutEdges.toSeq == Seq(2))
+    assert(r.labels.toSeq == Seq(0, 0, 2, 2))
+  }
+
+  test("clusterStats: counts, density, weak-bridge census") {
+    val scores = Array(0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.65)
+    val s = GraphKernels.clusterStats(6, twoTriangles, scores, strong = 0.75)
+    assert(s.nDocs == 6 && s.nEdges == 7)
+    assert(s.nBridges == 1 && s.nWeakBridges == 1)
+    assert(s.connected)
+    assert(math.abs(s.density - 7.0 / 15.0) < 1e-12)
+    assert(math.abs(s.minScore - 0.65) < 1e-12)
+    val disconnected = GraphKernels.clusterStats(4, E(0 -> 1, 2 -> 3),
+      Array(0.9, 0.9), strong = 0.75)
+    assert(!disconnected.connected)
+  }
+}

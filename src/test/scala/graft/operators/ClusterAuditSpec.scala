@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.ckpt.Snapshots
+import graft.eval.Eval
+import graft.pipeline.EntityResolution
+import graft.synth.{DocGen, GenConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class ClusterAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assign(rows: (String, String)*): DataFrame =
+    rows.toDF("doc_id", "cluster_id")
+  private def pairs(rows: (String, String, Double)*): DataFrame =
+    rows.toDF("doc_id_a", "doc_id_b", "score")
+
+  /** Two dense 3-doc groups glued by one near-threshold bridge — the false
+    * merge shape; everything in one cluster "a1" as CC would leave it.
+    */
+  private def mergedCase = (
+    assign(("a1", "a1"), ("a2", "a1"), ("a3", "a1"),
+           ("b1", "a1"), ("b2", "a1"), ("b3", "a1")),
+    pairs(("a1", "a2", 0.9), ("a1", "a3", 0.9), ("a2", "a3", 0.9),
+          ("b1", "b2", 0.9), ("b1", "b3", 0.9), ("b2", "b3", 0.9),
+          ("a3", "b1", 0.65)))
+
+  test("repair cuts the weak bridge of a false merge and re-labels both sides by min doc_id") {
+    val (a, p) = mergedCase
+    val r = ClusterAudit.repair(a, p)
+    assert(r.counters("audit_clusters_cut") == 1L)
+    assert(r.counters("audit_bridges_cut") == 1L)
+    assert(r.counters("audit_clusters_after_cut") == 2L)
+    assert(r.counters("audit_docs_reassigned") == 3L) // the b side moves
+    assert(r.counters("audit_clusters_over_cap") == 0L)
+    assert(r.counters("audit_clusters_disconnected") == 0L)
+    assert(r.cutPairs.as[(String, String)].collect().toSeq == Seq(("a3", "b1")))
+    val got = r.assignments.as[(String, String)].collect().toMap
+    assert(got == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1",
+      "b1" -> "b1", "b2" -> "b1", "b3" -> "b1"))
+    r.release()
+  }
+
+  test("a strong bridge and a weak pendant are both kept (no-op, nothing changes)") {
+    // strong bridge: same shape, bridge at 0.80 >= strongScore 0.75
+    val (a, _) = mergedCase
+    val strongP = pairs(("a1", "a2", 0.9), ("a1", "a3", 0.9), ("a2", "a3", 0.9),
+      ("b1", "b2", 0.9), ("b1", "b3", 0.9), ("b2", "b3", 0.9), ("a3", "b1", 0.80))
+    val r1 = ClusterAudit.repair(a, strongP)
+    assert(r1.counters("audit_bridges_cut") == 0L && r1.counters("audit_clusters_cut") == 0L)
+    assert(r1.assignments.as[(String, String)].collect().toSet ==
+      a.as[(String, String)].collect().toSet)
+    r1.release()
+    // weak pendant: one noisy doc attached by a single 0.62 edge
+    val a2 = assign(("c1", "c1"), ("c2", "c1"), ("c3", "c1"), ("c4", "c1"))
+    val p2 = pairs(("c1", "c2", 0.9), ("c1", "c3", 0.9), ("c2", "c3", 0.9), ("c3", "c4", 0.62))
+    val r2 = ClusterAudit.repair(a2, p2)
+    assert(r2.counters("audit_bridges_cut") == 0L)
+    r2.release()
+  }
+
+  test("cohesion census: bridge structure, density, over-cap and disconnected reporting") {
+    val (a, p) = mergedCase
+    val rows = ClusterAudit.cohesion(a, p).collect()
+    assert(rows.length == 1)
+    val c = rows(0)
+    assert(c.cluster_id == "a1" && c.n_docs == 6 && c.n_edges == 7)
+    assert(c.n_bridges == 1 && c.n_weak_bridges == 1 && c.connected && !c.over_cap)
+    assert(math.abs(c.density - 7.0 / 15.0) < 1e-12)
+    assert(math.abs(c.min_score - 0.65) < 1e-12)
+    // over-cap: same cluster with a 3-edge kernel cap
+    val capped = ClusterAudit.cohesion(a, p,
+      ClusterAudit.AuditConfig(maxClusterEdges = 3)).collect()
+    assert(capped.length == 1 && capped(0).over_cap && capped(0).n_bridges == -1)
+    // a drifted (disconnected) cluster is reported, never modified
+    val aD = assign(("d1", "d1"), ("d2", "d1"), ("d3", "d1"), ("d4", "d1"))
+    val pD = pairs(("d1", "d2", 0.9), ("d3", "d4", 0.9))
+    assert(!ClusterAudit.cohesion(aD, pD).collect()(0).connected)
+    val rD = ClusterAudit.repair(aD, pD)
+    assert(rD.counters("audit_clusters_disconnected") == 1L)
+    assert(rD.counters("audit_clusters_cut") == 0L)
+    assert(rD.assignments.as[(String, String)].collect().toSet ==
+      aD.as[(String, String)].collect().toSet)
+    rD.release()
+  }
+
+  test("over-cap clusters pass through the repair unmodified, loudly counted") {
+    val (a, p) = mergedCase
+    val r = ClusterAudit.repair(a, p, ClusterAudit.AuditConfig(maxClusterEdges = 3))
+    assert(r.counters("audit_clusters_over_cap") == 1L)
+    assert(r.counters("audit_bridges_cut") == 0L)
+    assert(r.assignments.as[(String, String)].collect().toSet ==
+      a.as[(String, String)].collect().toSet)
+    r.release()
+  }
+
+  test("repair is a no-op on a clean pipeline run and preserves the gates") {
+    val cfg = GenConfig(numEntities = 50, docsPerEntity = 3, seed = 42L)
+    val docs = DocGen.docs(spark, cfg).toDF().cache()
+    val gold = DocGen.gold(spark, cfg).toDF().cache()
+    val res = EntityResolution.run(spark, docs)
+    val r = ClusterAudit.repair(res.assignments, res.scoredPairs)
+    assert(r.counters("audit_bridges_cut") == 0L,
+      s"clean 3-doc clusters must never satisfy both-sides>=2: ${r.counters}")
+    assert(Eval.clusterEquality(r.assignments, gold))
+    r.release()
+    res.release()
+    docs.unpersist(); gold.unpersist()
+  }
+
+  test("auditRepair verb: commits deltas + tombstones, idempotent, refuses exact increments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit-verb").toString
+    val (a, p) = mergedCase
+    // a committed fake base run: the verb reads scored_pairs +
+    // cluster_assignments (+ blocking for the returned Result)
+    val blocking = Seq(("k1", "a1")).toDF("block_key", "doc_id")
+    Snapshots.commit(spark, blocking, dir, "blocking", "base", Map("blocking_rows" -> 1L))
+    Snapshots.commit(spark, p, dir, "scored_pairs", "base",
+      Map("docs_scored_against" -> 6L))
+    Snapshots.commit(spark, a, dir, "cluster_assignments", "base",
+      Map("cc_iterations" -> 1L))
+
+    val res = EntityResolution.auditRepair(spark, dir)
+    assert(res.counters("audit_committed") == 1L)
+    assert(res.counters("audit_cut_pairs_removed") == 1L)
+    // resolved relations reflect the repair
+    val got = res.assignments.as[(String, String)].collect().toMap
+    assert(got("b1") == "b1" && got("b2") == "b1" && got("a1") == "a1")
+    assert(res.scoredPairs.where(col("doc_id_a") === "a3" && col("doc_id_b") === "b1").isEmpty,
+      "cut pair must be retracted from the resolved scored set")
+    val ts = Snapshots.loadCommitted(spark, dir, EntityResolution.StageAuditTombstones)
+    assert(ts.isDefined && ts.get.count() == 1L)
+    assert(Snapshots.lastCommitted(dir, "cluster_assignments").contains(1L))
+
+    // idempotent: the cut bridge is gone; nothing new commits
+    val res2 = EntityResolution.auditRepair(spark, dir)
+    assert(res2.counters("audit_committed") == 0L)
+    assert(Snapshots.lastCommitted(dir, "cluster_assignments").contains(1L))
+
+    // exact increments refuse audited histories (tombstones are deliberate
+    // divergence from the batch twin)
+    val ex = intercept[IllegalArgumentException] {
+      EntityResolution.addDocuments(spark,
+        Seq(("z1", Seq.empty[graft.model.Span])).toDF("doc_id", "spans"),
+        dir, exact = true)
+    }
+    assert(ex.getMessage.contains("tombstones"))
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+}
