@@ -6,7 +6,7 @@ import graft.synth.{DocGen, GenConfig}
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc entity-skew-at-scale probe (not part of the library surface):
-  * runMain graft.tools.SkewScaleProbe [threads] [entities] [head] [strong] [minSide]
+  * runMain graft.tools.SkewScaleProbe [threads] [entities] [head] [strong] [minSide] [commit]
   *
   * The headroom table (BENCH/BASELINE.md) scales the UNIFORM corpus up;
   * this probe scales the block-size cap's OTHER failure axis — a
@@ -25,6 +25,14 @@ import org.apache.spark.sql.SparkSession
   * clusters without splitting real entities" on the corpus that first
   * exhibited the merge tail (BENCH/round5_skew_scale.json: 2 mixed
   * clusters of 190k entities).
+  *
+  * With a 6th arg `commit` the pipeline runs in runDir mode (snapshots
+  * committed to tmpfs) and the probe ADDITIONALLY measures the
+  * PRODUCTION-shape audit — [[EntityResolution.auditRepair]] reading the
+  * committed scored_pairs/cluster_assignments snapshots and committing the
+  * repair as deltas + standing pair tombstones. Without it, the in-memory
+  * audit wall includes re-deriving scoredPairs from the cached blocking
+  * (a cost the committed path never pays).
   */
 object SkewScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -48,8 +56,11 @@ object SkewScaleProbe {
         .write.mode("overwrite").parquet(corpusDir)
       spark.conf.set("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
       val docs = spark.read.parquet(corpusDir)
+      val commitMode = args.length > 5 && args(5) == "commit"
+      val runDir = s"$root/run"
       val t0 = System.nanoTime()
-      val res = EntityResolution.run(spark, docs)
+      val res = EntityResolution.run(spark, docs,
+        runDir = if (commitMode) Some(runDir) else None)
       val nDocs = res.assignments.count()
       val wall = (System.nanoTime() - t0) / 1e9
       val gold = DocGen.goldSkewed(spark, cfg, head).toDF().cache()
@@ -90,6 +101,25 @@ object SkewScaleProbe {
       val ac = rep.counters
       rep.release(); repaired.unpersist()
 
+      // --- production-shape audit: census-free repair over the COMMITTED
+      // snapshots (what `Main --audit-repair` pays), deltas + tombstones
+      // committed to the run history
+      val committedJson = if (commitMode) {
+        val tc = System.nanoTime()
+        val acRes = EntityResolution.auditRepair(spark, runDir, acfg)
+        val commAssign = acRes.assignments.cache()
+        commAssign.count()
+        val commWall = (System.nanoTime() - tc) / 1e9
+        val mC = Eval.pairwiseF1(commAssign, labeled)
+        commAssign.unpersist()
+        f""","audit_committed":{"wall_sec":$commWall%.1f,""" +
+          f""""bridges_cut":${acRes.counters.getOrElse("audit_bridges_cut", -1L)},""" +
+          f""""docs_reassigned":${acRes.counters.getOrElse("audit_docs_reassigned", -1L)},""" +
+          f""""cut_pairs_removed":${acRes.counters.getOrElse("audit_cut_pairs_removed", 0L)},""" +
+          f""""f1_after":${mC.f1}%.6f,"precision_after":${mC.precision}%.6f,""" +
+          f""""recall_after":${mC.recall}%.6f}"""
+      } else ""
+
       res.release(keepAssignments = false)
       labeled.unpersist(); gold.unpersist()
       println(f"""{"docs":$nDocs,"entities":$entities,"head_entity_docs":$head,""" +
@@ -109,7 +139,7 @@ object SkewScaleProbe {
         f""""clusters_disconnected":${ac("audit_clusters_disconnected")},""" +
         f""""f1_after":${m2.f1}%.6f,"precision_after":${m2.precision}%.6f,""" +
         f""""recall_after":${m2.recall}%.6f,""" +
-        f""""entities_split_after":$nSplit2,"clusters_mixed_after":$nMerge2}}""")
+        f""""entities_split_after":$nSplit2,"clusters_mixed_after":$nMerge2}$committedJson}""")
     } finally {
       spark.stop()
       new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
