@@ -43,8 +43,9 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SCALE_REPS[_N], SPARK_GRAFT_SKIP_SCALING / _SKIP_QUERIES /
   * _SKIP_INCR (the +10% addDocuments-vs-batch-rerun comparison, plus the
   * retraction leg that removes the same +10% again and checks the
-  * add→remove round trip restores the base clustering bit-exactly, rides
-  * with the scaling section unless skipped).
+  * add→remove round trip restores the base clustering bit-exactly, plus
+  * the audit leg pricing `auditRepair` over the resulting committed run —
+  * all ride with the scaling section unless skipped).
   */
 object Bench {
 
@@ -378,6 +379,17 @@ object Bench {
           spark, runDirI, "cluster_assignments", 0L).select("doc_id", "cluster_id")
         val rtAsg = rm.assignments.select("doc_id", "cluster_id")
         val rtDiff = rtAsg.exceptAll(baseAsg).count() + baseAsg.exceptAll(rtAsg).count()
+        // AUDIT leg: price the post-clustering cohesion census + weak-bridge
+        // repair (Main --audit-repair) against the committed run the removal
+        // just left behind — the standing-deployment maintenance verb. On
+        // this uniform corpus there are no false merges, so cuts SHOULD be 0
+        // (a nonzero count here is itself a regression signal); the wall is
+        // the full per-multi-doc-cluster kernel pass, production-shaped.
+        val t4 = System.nanoTime()
+        val aud = EntityResolution.auditRepair(spark, runDirI, runId = "bench-audit")
+        val nAud = aud.assignments.count()
+        val tAud = (System.nanoTime() - t4) / 1e9
+        aud.release()
         f""","er_increment":{"docs_base":$nBase,"docs_added":$nAdd,"docs_union":$nUnion,""" +
           f""""batch_base_sec":$tBase%.3f,"incr_sec":$tIncr%.3f,"batch_union_sec":$tUnion%.3f,""" +
           f""""incr_speedup_vs_rerun":${tUnion / tIncr}%.3f,""" +
@@ -388,7 +400,12 @@ object Bench {
           f""""remove_speedup_vs_rerun":${tBase / tRm}%.3f,""" +
           f""""pairs_removed":${rm.counters.getOrElse("pairs_removed", -1L)},""" +
           f""""heal_pairs_scored":${rm.counters.getOrElse("heal_pairs_scored", -1L)},""" +
-          f""""roundtrip_assignment_diff":$rtDiff}"""
+          f""""roundtrip_assignment_diff":$rtDiff},""" +
+          f""""er_audit":{"docs":$nAud,"audit_repair_sec":$tAud%.3f,""" +
+          f""""docs_per_sec":${nAud / tAud}%.1f,""" +
+          f""""bridges_cut":${aud.counters.getOrElse("audit_bridges_cut", -1L)},""" +
+          f""""clusters_cut":${aud.counters.getOrElse("audit_clusters_cut", -1L)},""" +
+          f""""clusters_over_cap":${aud.counters.getOrElse("audit_clusters_over_cap", -1L)}}"""
       } finally {
         spark.stop()
         import scala.reflect.io.Directory

@@ -212,12 +212,15 @@ object Main {
       coalesce(sum(when(!col("connected"), 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(!col("over_cap"), col("n_bridges")).otherwise(0L)), lit(0L)),
       coalesce(sum(when(!col("over_cap"), col("n_weak_bridges")).otherwise(0L)), lit(0L)),
-      coalesce(sum(when(col("n_weak_bridges") > 0, 1L).otherwise(0L)), lit(0L))
+      coalesce(sum(when(col("n_weak_bridges") > 0, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(!col("over_cap"), col("n_weak_bundles")).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("n_weak_bundles") > 0, 1L).otherwise(0L)), lit(0L))
     ).collect()(0)
     val censusJson =
       s""""clusters_multi_doc":${c.getLong(0)},"clusters_over_cap":${c.getLong(1)},""" +
       s""""clusters_disconnected":${c.getLong(2)},"bridges":${c.getLong(3)},""" +
-      s""""weak_bridges":${c.getLong(4)},"clusters_with_weak_bridge":${c.getLong(5)}"""
+      s""""weak_bridges":${c.getLong(4)},"clusters_with_weak_bridge":${c.getLong(5)},""" +
+      s""""weak_bundles":${c.getLong(6)},"clusters_with_weak_bundle":${c.getLong(7)}"""
     val repairJson = if (commit) {
       val res = EntityResolution.auditRepair(spark, dir, acfg)
       val counters = res.counters.toSeq.sortBy(_._1)

@@ -193,25 +193,136 @@ object GraphKernels {
     RepairOutcome(cuts.toArray, components(n, edges, i => !active(i)))
   }
 
+  /** Generalized weak-CUT repair: contract the ≥`strong` edges into CORES
+    * (strong-connected doc groups), BUNDLE the surviving weak edges between
+    * each pair of distinct cores, and repeatedly cut the bundle that is a
+    * bridge of the contracted core graph — weakest bundle first (ordered by
+    * its strongest member's score) — provided both resulting sides keep at
+    * least `minSide` docs. `maxCuts` counts cut EDGES (a bundle whose size
+    * would exceed the remaining budget is skipped, loudly leaving the merge
+    * in place rather than half-cutting it).
+    *
+    * The singleton-bundle case is exactly [[weakBridgeRepair]] (a weak
+    * full-graph bridge between two cores IS a one-edge bundle bridging the
+    * contracted graph, and intra-core weak edges can never be bridges —
+    * their endpoints stay strong-connected). Bundles of size k ≥ 2
+    * additionally repair false merges glued by PARALLEL near-threshold
+    * pairs, which defeat single-edge bridge detection: each parallel edge
+    * keeps the other's endpoints connected, so Tarjan sees no bridge, yet
+    * the merge is still held ONLY by sub-`strong` evidence.
+    */
+  def weakCutRepair(n: Int, edges: Array[(Int, Int)], scores: Array[Double],
+                    strong: Double, minSide: Int,
+                    maxCuts: Int = Int.MaxValue): RepairOutcome = {
+    require(edges.length == scores.length, "edges and scores must align")
+    val active = Array.fill(edges.length)(true)
+    val cuts = mutable.ArrayBuffer.empty[Int]
+    var done = false
+    while (!done && cuts.length < maxCuts) {
+      // cut candidates against the SURVIVING graph (strong edges are never
+      // cut, but sides shrink as bundles fall — recompute per round)
+      val cands = weakBundleBridges(n, edges, scores, strong, i => active(i))
+      if (cands.isEmpty) done = true
+      else {
+        val comp = components(n, edges, i => !active(i))
+        val csize = new Array[Int](n)
+        comp.foreach(c => csize(c) += 1)
+        cands.find { es =>
+          if (cuts.length + es.length > maxCuts) false
+          else {
+            val skip = es.toSet
+            val comp2 = components(n, edges, j => !active(j) || skip(j))
+            val u = edges(es.head)._1
+            var side = 0; var j = 0
+            while (j < n) {
+              if (comp(j) == comp(u) && comp2(j) == comp2(u)) side += 1
+              j += 1
+            }
+            side >= minSide && csize(comp(u)) - side >= minSide
+          }
+        } match {
+          case Some(es) =>
+            es.foreach(e => active(e) = false)
+            cuts ++= es
+          case None => done = true
+        }
+      }
+    }
+    RepairOutcome(cuts.toArray, components(n, edges, i => !active(i)))
+  }
+
+  /** Bundles of active weak (< `strong`) edges between DISTINCT strong-cores
+    * that are bridges of the contracted core graph — [[weakCutRepair]]'s cut
+    * candidates, ordered weakest-glue-first by (strongest member's score,
+    * bundle size, core key). Each returned bundle is the edge-index set it
+    * would cut. Strong active edges are intra-core by construction, so the
+    * bundles are the contracted graph's ONLY edges.
+    */
+  private def weakBundleBridges(n: Int, edges: Array[(Int, Int)], scores: Array[Double],
+                                strong: Double, active: Int => Boolean): Array[Array[Int]] = {
+    val core = components(n, edges, i => !active(i) || scores(i) < strong)
+    val bundles = mutable.LinkedHashMap.empty[(Int, Int), mutable.ArrayBuffer[Int]]
+    var i = 0
+    while (i < edges.length) {
+      if (active(i) && scores(i) < strong) {
+        val cu = core(edges(i)._1); val cv = core(edges(i)._2)
+        if (cu != cv) {
+          val key = if (cu < cv) (cu, cv) else (cv, cu)
+          bundles.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += i
+        }
+      }
+      i += 1
+    }
+    if (bundles.isEmpty) return Array.empty
+    val coreIds = core.distinct.sorted
+    val cidx = coreIds.zipWithIndex.toMap
+    val keys = bundles.keys.toArray
+    val cEdges = keys.map { case (a, b) => (cidx(a), cidx(b)) }
+    bridges(coreIds.length, cEdges).map(keys)
+      .sortBy { key =>
+        val es = bundles(key)
+        (es.map(scores).max, es.length, key._1, key._2)
+      }
+      .map(k => bundles(k).toArray)
+  }
+
   /** Cohesion statistics of one cluster's accepted-edge graph (the audit
     * census row): bridge counts separate "dense merge-proof cluster"
-    * (nBridges = 0) from "held together by single edges", and
-    * nWeakBridges counts the ones [[weakBridgeRepair]] would even
-    * consider (score < strong — side sizes not yet applied).
+    * (nBridges = 0) from "held together by single edges"; nWeakBridges
+    * counts the single weak bridges (structural screen, no side-size
+    * guard — the existing loose semantic), while nWeakBundles counts the
+    * contracted-graph bridge BUNDLES [[weakCutRepair]] would actually cut
+    * in its first round (side-size guard APPLIED — pendant-core bundles,
+    * ubiquitous in healthy clusters whose weakest doc scores sub-strong
+    * against a dense core, read 0 here, so a nonzero census is an
+    * actionable repair signal, parallel weak bridges included).
     */
   final case class ClusterStats(nDocs: Int, nEdges: Int, minScore: Double, avgScore: Double,
                                 density: Double, nBridges: Int, nWeakBridges: Int,
-                                connected: Boolean)
+                                nWeakBundles: Int, connected: Boolean)
 
   def clusterStats(n: Int, edges: Array[(Int, Int)], scores: Array[Double],
-                   strong: Double): ClusterStats = {
+                   strong: Double, minSide: Int = 2): ClusterStats = {
     val br = bridges(n, edges)
     val comp = components(n, edges, _ => false)
     val connected = n == 0 || comp.forall(_ == comp(0))
     val minS = if (scores.isEmpty) 0.0 else scores.min
     val avgS = if (scores.isEmpty) 0.0 else scores.sum / scores.length
     val density = if (n < 2) 1.0 else 2.0 * edges.length / (n.toLong * (n - 1))
+    val csize = new Array[Int](n)
+    comp.foreach(c => csize(c) += 1)
+    val cuttable = weakBundleBridges(n, edges, scores, strong, _ => true).count { es =>
+      val skip = es.toSet
+      val comp2 = components(n, edges, skip)
+      val u = edges(es.head)._1
+      var side = 0; var j = 0
+      while (j < n) {
+        if (comp(j) == comp(u) && comp2(j) == comp2(u)) side += 1
+        j += 1
+      }
+      side >= minSide && csize(comp(u)) - side >= minSide
+    }
     ClusterStats(n, edges.length, minS, avgS, density,
-      br.length, br.count(e => scores(e) < strong), connected)
+      br.length, br.count(e => scores(e) < strong), cuttable, connected)
   }
 }

@@ -16,10 +16,15 @@ import scala.collection.mutable
   * pair-local conflict veto (reference AMPI.scala:280,293 →
   * PairScoring.exclusiveConflict) cannot see it, because each pair is
   * judged alone; structurally, though, a false merge is visible in the
-  * CLUSTER graph as a near-threshold BRIDGE between two dense subgraphs
-  * (the skew-scale probe measured exactly this tail: 2 mixed clusters of
-  * 190k entities, each glued by accepted cross-entity pairs —
-  * BENCH/round5_skew_scale.json).
+  * CLUSTER graph as a near-threshold BRIDGE — or a parallel BUNDLE of
+  * near-threshold edges — between two dense subgraphs (the skew-scale
+  * probe measured exactly this tail: 2 mixed clusters of 190k entities,
+  * each glued by accepted cross-entity pairs —
+  * BENCH/round5_skew_scale.json). The repair kernel contracts ≥-strong
+  * cores and cuts bridge BUNDLES of the contracted graph
+  * ([[GraphKernels.weakCutRepair]]), so k parallel weak edges — invisible
+  * to single-edge Tarjan bridges — still fall when nothing strong vouches
+  * for the merge.
   *
   * Scale shape: ONE equi-join of the ≥-threshold pairs to the assignments
   * (on doc_id_a — both endpoints share the cluster by CC construction),
@@ -57,7 +62,7 @@ object ClusterAudit {
     */
   final case class CohesionRow(cluster_id: String, n_docs: Int, n_edges: Long,
                                min_score: Double, avg_score: Double, density: Double,
-                               n_bridges: Int, n_weak_bridges: Int,
+                               n_bridges: Int, n_weak_bridges: Int, n_weak_bundles: Int,
                                connected: Boolean, over_cap: Boolean)
 
   /** Kernel output of the repair pass — three row shapes, discriminated by
@@ -156,12 +161,14 @@ object ClusterAudit {
         case None =>
           val scores = esArr.map(_._4)
           Iterator.single(CohesionRow(cid, msArr.length, esArr.length,
-            scores.min, scores.sum / scores.length, -1.0, -1, -1,
+            scores.min, scores.sum / scores.length, -1.0, -1, -1, -1,
             connected = true, over_cap = true))
         case Some((names, earr, sarr)) if earr.nonEmpty =>
-          val s = GraphKernels.clusterStats(names.length, earr, sarr, cfg.strongScore)
+          val s = GraphKernels.clusterStats(names.length, earr, sarr, cfg.strongScore,
+            cfg.minSideDocs)
           Iterator.single(CohesionRow(cid, s.nDocs, s.nEdges, s.minScore, s.avgScore,
-            s.density, s.nBridges, s.nWeakBridges, s.connected, over_cap = false))
+            s.density, s.nBridges, s.nWeakBridges, s.nWeakBundles, s.connected,
+            over_cap = false))
         case _ => Iterator.empty
       }
     }
@@ -193,7 +200,7 @@ object ClusterAudit {
             Iterator.single(RepairOut(cid, null, null, null, null,
               over_cap = false, disconnected = true))
           else {
-            val r = GraphKernels.weakBridgeRepair(n, earr, sarr,
+            val r = GraphKernels.weakCutRepair(n, earr, sarr,
               cfg.strongScore, cfg.minSideDocs, cfg.maxCutsPerCluster)
             if (r.cutEdges.isEmpty) Iterator.empty
             else {

@@ -92,12 +92,84 @@ class GraphKernelsSpec extends AnyFunSuite {
     val scores = Array(0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.65)
     val s = GraphKernels.clusterStats(6, twoTriangles, scores, strong = 0.75)
     assert(s.nDocs == 6 && s.nEdges == 7)
-    assert(s.nBridges == 1 && s.nWeakBridges == 1)
+    assert(s.nBridges == 1 && s.nWeakBridges == 1 && s.nWeakBundles == 1)
     assert(s.connected)
     assert(math.abs(s.density - 7.0 / 15.0) < 1e-12)
     assert(math.abs(s.minScore - 0.65) < 1e-12)
     val disconnected = GraphKernels.clusterStats(4, E(0 -> 1, 2 -> 3),
       Array(0.9, 0.9), strong = 0.75)
     assert(!disconnected.connected)
+  }
+
+  // two triangles glued by TWO parallel weak edges — each keeps the other's
+  // endpoints connected, so single-edge Tarjan sees NO bridge
+  private val parallelGlue = E(0 -> 1, 1 -> 2, 2 -> 0, 3 -> 4, 4 -> 5, 5 -> 3,
+    2 -> 3, 0 -> 5)
+  private val parallelScores = Array(0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.65, 0.62)
+
+  test("cut repair: parallel weak bridges are invisible to bridge repair, cut as one bundle") {
+    val blind = GraphKernels.weakBridgeRepair(6, parallelGlue, parallelScores,
+      strong = 0.75, minSide = 2)
+    assert(blind.cutEdges.isEmpty, "single-edge bridge repair must be blind here")
+    val r = GraphKernels.weakCutRepair(6, parallelGlue, parallelScores,
+      strong = 0.75, minSide = 2)
+    assert(r.cutEdges.sorted.toSeq == Seq(6, 7))
+    assert(r.labels.toSeq == Seq(0, 0, 0, 3, 3, 3))
+    // the census sees it too: 0 weak bridges but 1 cuttable weak bundle
+    val s = GraphKernels.clusterStats(6, parallelGlue, parallelScores, strong = 0.75)
+    assert(s.nBridges == 0 && s.nWeakBridges == 0 && s.nWeakBundles == 1)
+  }
+
+  test("cut repair: a bundle containing a STRONG parallel edge is trusted, never cut") {
+    // same shape but one of the two glue edges is >= strong: the cores
+    // merge through it, so there is no weak bundle between distinct cores
+    val scores = Array(0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.80, 0.62)
+    val r = GraphKernels.weakCutRepair(6, parallelGlue, scores, strong = 0.75, minSide = 2)
+    assert(r.cutEdges.isEmpty)
+    assert(r.labels.forall(_ == 0))
+  }
+
+  test("cut repair: a weak-bundle CYCLE of cores has no contracted bridge — kept") {
+    // three triangles A{0,1,2} B{3,4,5} C{6,7,8} glued pairwise by weak
+    // edges forming a cycle: cutting any one bundle leaves the other two
+    // connecting its sides
+    val edges = E(0 -> 1, 1 -> 2, 2 -> 0, 3 -> 4, 4 -> 5, 5 -> 3,
+      6 -> 7, 7 -> 8, 8 -> 6, 2 -> 3, 5 -> 6, 8 -> 0)
+    val scores = Array(0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.65, 0.65, 0.65)
+    val r = GraphKernels.weakCutRepair(9, edges, scores, strong = 0.75, minSide = 2)
+    assert(r.cutEdges.isEmpty)
+  }
+
+  test("cut repair: singleton bundles reproduce bridge repair exactly") {
+    for ((edges, scores, n) <- Seq(
+      (twoTriangles, Array(0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.65), 6),
+      (E(0 -> 1, 1 -> 2, 2 -> 0, 3 -> 4, 4 -> 5, 5 -> 3, 6 -> 7, 7 -> 8, 8 -> 6,
+        2 -> 3, 5 -> 6),
+        Array(0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.61, 0.65), 9),
+      (E(0 -> 1, 2 -> 3, 1 -> 2), Array(0.9, 0.9, 0.6), 4),
+      (E(0 -> 1, 1 -> 2, 2 -> 0, 2 -> 3), Array(0.9, 0.9, 0.9, 0.62), 4))) {
+      val a = GraphKernels.weakBridgeRepair(n, edges, scores, strong = 0.75, minSide = 2)
+      val b = GraphKernels.weakCutRepair(n, edges, scores, strong = 0.75, minSide = 2)
+      assert(a.cutEdges.sorted.toSeq == b.cutEdges.sorted.toSeq)
+      assert(a.labels.toSeq == b.labels.toSeq)
+    }
+  }
+
+  test("cut repair: maxCuts skips a bundle it cannot cut whole") {
+    val r = GraphKernels.weakCutRepair(6, parallelGlue, parallelScores,
+      strong = 0.75, minSide = 2, maxCuts = 1)
+    assert(r.cutEdges.isEmpty, "a 2-edge bundle must not be half-cut under maxCuts=1")
+    assert(r.labels.forall(_ == 0))
+  }
+
+  test("cut repair: weak pendant CORE (one-doc side) kept at minSide 2 even via parallel edges") {
+    // triangle {0,1,2} with noisy doc 3 attached by TWO weak edges
+    val edges = E(0 -> 1, 1 -> 2, 2 -> 0, 2 -> 3, 0 -> 3)
+    val scores = Array(0.9, 0.9, 0.9, 0.62, 0.61)
+    val keep = GraphKernels.weakCutRepair(4, edges, scores, strong = 0.75, minSide = 2)
+    assert(keep.cutEdges.isEmpty)
+    val cut = GraphKernels.weakCutRepair(4, edges, scores, strong = 0.75, minSide = 1)
+    assert(cut.cutEdges.sorted.toSeq == Seq(3, 4))
+    assert(cut.labels.toSeq == Seq(0, 0, 0, 3))
   }
 }

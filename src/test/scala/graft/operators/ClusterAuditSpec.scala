@@ -42,6 +42,28 @@ class ClusterAuditSpec extends SparkSpec {
     r.release()
   }
 
+  test("repair cuts a PARALLEL-weak-edge false merge (invisible to single-bridge detection)") {
+    val a = assign(("a1", "a1"), ("a2", "a1"), ("a3", "a1"),
+                   ("b1", "a1"), ("b2", "a1"), ("b3", "a1"))
+    // two dense triangles glued by TWO near-threshold cross edges — each
+    // keeps the other's endpoints connected, so no single edge is a bridge
+    val p = pairs(("a1", "a2", 0.9), ("a1", "a3", 0.9), ("a2", "a3", 0.9),
+      ("b1", "b2", 0.9), ("b1", "b3", 0.9), ("b2", "b3", 0.9),
+      ("a3", "b1", 0.65), ("a1", "b3", 0.63))
+    val coh = ClusterAudit.cohesion(a, p).collect()
+    assert(coh(0).n_weak_bridges == 0 && coh(0).n_weak_bundles == 1)
+    val r = ClusterAudit.repair(a, p)
+    assert(r.counters("audit_clusters_cut") == 1L)
+    assert(r.counters("audit_bridges_cut") == 2L) // both bundle edges fall
+    assert(r.counters("audit_clusters_after_cut") == 2L)
+    assert(r.cutPairs.as[(String, String)].collect().toSet ==
+      Set(("a3", "b1"), ("a1", "b3")))
+    val got = r.assignments.as[(String, String)].collect().toMap
+    assert(got == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1",
+      "b1" -> "b1", "b2" -> "b1", "b3" -> "b1"))
+    r.release()
+  }
+
   test("a strong bridge and a weak pendant are both kept (no-op, nothing changes)") {
     // strong bridge: same shape, bridge at 0.80 >= strongScore 0.75
     val (a, _) = mergedCase
@@ -66,7 +88,8 @@ class ClusterAuditSpec extends SparkSpec {
     assert(rows.length == 1)
     val c = rows(0)
     assert(c.cluster_id == "a1" && c.n_docs == 6 && c.n_edges == 7)
-    assert(c.n_bridges == 1 && c.n_weak_bridges == 1 && c.connected && !c.over_cap)
+    assert(c.n_bridges == 1 && c.n_weak_bridges == 1 && c.n_weak_bundles == 1)
+    assert(c.connected && !c.over_cap)
     assert(math.abs(c.density - 7.0 / 15.0) < 1e-12)
     assert(math.abs(c.min_score - 0.65) < 1e-12)
     // over-cap: same cluster with a 3-edge kernel cap
