@@ -162,6 +162,51 @@ class GraphKernelsSpec extends AnyFunSuite {
     assert(r.labels.forall(_ == 0))
   }
 
+  test("cut repair properties: only weak edges fall, sides respect minSide, fixpoint reached") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val strong = 0.75
+    val minSide = 2
+    // random small graphs: n nodes, random edges with mixed weak/strong scores
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 14)
+      m <- Gen.chooseNum(1, 28)
+      es <- Gen.listOfN(m, for {
+        u <- Gen.chooseNum(0, n - 1)
+        v <- Gen.chooseNum(0, n - 1).suchThat(_ != u)
+        s <- Gen.oneOf(Gen.chooseNum(0.60, 0.74), Gen.chooseNum(0.76, 0.99))
+      } yield (math.min(u, v), math.max(u, v), s))
+    } yield (n, es.map(e => (e._1, e._2)).toArray, es.map(_._3).toArray)
+    val prop = Prop.forAll(graphGen) { case (n, edges, scores) =>
+      val r = GraphKernels.weakCutRepair(n, edges, scores, strong, minSide)
+      val cutSet = r.cutEdges.toSet
+      // 1) only sub-strong edges are ever cut
+      val onlyWeak = r.cutEdges.forall(e => scores(e) < strong)
+      // 2) labels are the post-cut components (internal consistency)
+      val comp = GraphKernels.components(n, edges, cutSet)
+      val labelsOk = r.labels.sameElements(comp)
+      // 3) every surviving component that LOST an edge has >= minSide docs
+      //    on each side of every cut (both endpoints' final components are
+      //    >= minSide when that component has any node beyond itself)
+      val csize = new Array[Int](n)
+      comp.foreach(c => csize(c) += 1)
+      val sidesOk = r.cutEdges.forall { e =>
+        val (u, v) = edges(e)
+        // a cut separated u's side from v's side at cut time; afterwards
+        // both live in components of size >= minSide (later cuts only
+        // split sides that THEMSELVES kept >= minSide per side)
+        csize(comp(u)) >= minSide && csize(comp(v)) >= minSide
+      }
+      // 4) fixpoint: re-running repair on the surviving graph cuts nothing
+      val surviving = edges.indices.filterNot(cutSet).toArray
+      val r2 = GraphKernels.weakCutRepair(n, surviving.map(edges), surviving.map(scores),
+        strong, minSide)
+      val fixpoint = r2.cutEdges.isEmpty
+      onlyWeak && labelsOk && sidesOk && fixpoint
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cut repair: weak pendant CORE (one-doc side) kept at minSide 2 even via parallel edges") {
     // triangle {0,1,2} with noisy doc 3 attached by TWO weak edges
     val edges = E(0 -> 1, 1 -> 2, 2 -> 0, 2 -> 3, 0 -> 3)
