@@ -379,16 +379,23 @@ object Bench {
           spark, runDirI, "cluster_assignments", 0L).select("doc_id", "cluster_id")
         val rtAsg = rm.assignments.select("doc_id", "cluster_id")
         val rtDiff = rtAsg.exceptAll(baseAsg).count() + baseAsg.exceptAll(rtAsg).count()
-        // AUDIT leg: price the post-clustering cohesion census + weak-bridge
+        // AUDIT leg: price the post-clustering cohesion census + weak-cut
         // repair (Main --audit-repair) against the committed run the removal
-        // just left behind — the standing-deployment maintenance verb. On
-        // this uniform corpus there are no false merges, so cuts SHOULD be 0
-        // (a nonzero count here is itself a regression signal); the wall is
-        // the full per-multi-doc-cluster kernel pass, production-shaped.
+        // just left behind — the standing-deployment maintenance verb. The
+        // uniform corpus carries a tiny merge tail of its own at this scale
+        // (f1_incremental above is not exactly 1), so a small nonzero cut
+        // count is the audit WORKING; the before/after F1 against the base
+        // gold (computed untimed) proves per round that the cuts buy
+        // precision without costing recall.
         val t4 = System.nanoTime()
         val aud = EntityResolution.auditRepair(spark, runDirI, runId = "bench-audit")
         val nAud = aud.assignments.count()
         val tAud = (System.nanoTime() - t4) / 1e9
+        val baseGold = DocGen.gold(spark, baseCfg).toDF()
+        val labeledBase = EntityResolution.labeledPairs(rm.blocking, baseGold).cache()
+        val audBefore = graft.eval.Eval.pairwiseF1(rm.assignments, labeledBase)
+        val audAfter = graft.eval.Eval.pairwiseF1(aud.assignments, labeledBase)
+        labeledBase.unpersist()
         aud.release()
         f""","er_increment":{"docs_base":$nBase,"docs_added":$nAdd,"docs_union":$nUnion,""" +
           f""""batch_base_sec":$tBase%.3f,"incr_sec":$tIncr%.3f,"batch_union_sec":$tUnion%.3f,""" +
@@ -403,9 +410,14 @@ object Bench {
           f""""roundtrip_assignment_diff":$rtDiff},""" +
           f""""er_audit":{"docs":$nAud,"audit_repair_sec":$tAud%.3f,""" +
           f""""docs_per_sec":${nAud / tAud}%.1f,""" +
-          f""""bridges_cut":${aud.counters.getOrElse("audit_bridges_cut", -1L)},""" +
+          f""""edges_cut":${aud.counters.getOrElse("audit_bridges_cut", -1L)},""" +
           f""""clusters_cut":${aud.counters.getOrElse("audit_clusters_cut", -1L)},""" +
-          f""""clusters_over_cap":${aud.counters.getOrElse("audit_clusters_over_cap", -1L)}}"""
+          f""""clusters_over_cap":${aud.counters.getOrElse("audit_clusters_over_cap", -1L)},""" +
+          f""""f1_before":${audBefore.f1}%.6f,"f1_after":${audAfter.f1}%.6f,""" +
+          f""""precision_before":${audBefore.precision}%.6f,""" +
+          f""""precision_after":${audAfter.precision}%.6f,""" +
+          f""""recall_before":${audBefore.recall}%.6f,""" +
+          f""""recall_after":${audAfter.recall}%.6f}"""
       } finally {
         spark.stop()
         import scala.reflect.io.Directory
