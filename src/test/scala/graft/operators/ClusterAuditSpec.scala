@@ -132,6 +132,54 @@ class ClusterAuditSpec extends SparkSpec {
     docs.unpersist(); gold.unpersist()
   }
 
+  test("increments honor standing tombstones: insert cannot re-derive, heal cannot resurrect") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tombstone-incr").toString
+    val cfg = GenConfig(numEntities = 20, docsPerEntity = 3, seed = 7L)
+    val res = EntityResolution.run(spark, DocGen.docs(spark, cfg).toDF(),
+      runDir = Some(dir), runId = "base")
+    res.assignments.count()
+    // entity 0's docs; the pair (a,b) must exist in the committed scored
+    // set for the test to mean anything
+    val (a, b, c) = ("d000000000000", "d000000000001", "d000000000002")
+    assert(!res.scoredPairs.where(col("doc_id_a") === a && col("doc_id_b") === b).isEmpty)
+    res.release()
+    // tombstone (a,b) exactly as auditRepair commits it: keyed-remove
+    // delta on scored_pairs + the standing tombstone stage (counters
+    // carried forward like the verb does)
+    val tomb = Seq((a, b)).toDF("doc_id_a", "doc_id_b")
+    val scored0 = Snapshots.loadCommitted(spark, dir, "scored_pairs").get
+    Snapshots.commitDelta(spark, scored0.limit(0).repartition(1),
+      Some((tomb, Seq("doc_id_a", "doc_id_b"))), dir, "scored_pairs", "t",
+      Snapshots.lastCounters(dir, "scored_pairs") + ("audit_cut_pairs" -> 1L),
+      Snapshots.lastRows(dir, "scored_pairs").get - 1L)
+    Snapshots.commit(spark, tomb, dir, EntityResolution.StageAuditTombstones, "t",
+      Map("tombstoned_pairs" -> 1L))
+    // INSERT: a revised entity-0 doc under a NEW id touches entity 0's
+    // blocks, putting (a,b) in the increment's touched-pair universe — the
+    // tombstone must keep it out of the re-derived fresh pairs
+    val add = DocGen.docsRevised(spark, cfg, 1).map(_.copy(doc_id = "zz_arrival")).toDF()
+    val inc = EntityResolution.addDocuments(spark, add, dir, runId = "incr")
+    inc.assignments.count()
+    assert(!inc.scoredPairs.where(col("doc_id_a") === "zz_arrival" ||
+      col("doc_id_b") === "zz_arrival").isEmpty,
+      "sanity: the arrival must have touched entity 0's blocks and scored")
+    assert(inc.scoredPairs.where(col("doc_id_a") === a && col("doc_id_b") === b).isEmpty,
+      "insert increment re-derived a tombstoned pair")
+    inc.release()
+    // REMOVAL: take out c and the arrival — a and b become each other's
+    // only potential neighbors, so splice healing would re-score (a,b);
+    // the tombstone must block the resurrection and the entity genuinely
+    // splits
+    val rm = EntityResolution.removeDocuments(spark,
+      Seq(c, "zz_arrival").toDF("doc_id"), dir, runId = "rm")
+    val asg = rm.assignments.where(col("doc_id").isin(a, b))
+      .select("doc_id", "cluster_id").as[(String, String)].collect().toMap
+    assert(asg(a) != asg(b), s"removal healing resurrected a tombstoned pair: $asg")
+    assert(rm.scoredPairs.where(col("doc_id_a") === a && col("doc_id_b") === b).isEmpty)
+    rm.release()
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("auditRepair verb: commits deltas + tombstones, idempotent, refuses exact increments") {
     val dir = java.nio.file.Files.createTempDirectory("graft-audit-verb").toString
     val (a, p) = mergedCase
