@@ -1077,6 +1077,22 @@ object EntityResolution {
         Snapshots.commitDelta(spark, cutPairs, None, runDir, StageAuditTombstones, runId,
           Map("tombstoned_pairs" -> (baseTs + nCut)), baseTs + nCut)
       }
+      // no-op deltas keep the OTHER increment stages in LOCKSTEP with the
+      // two the audit really moves: StreamingIngest certifies batch
+      // completeness by "all stages at equal snapshot ids", and its repair
+      // verb trims ahead-running stages DESTRUCTIVELY — without these,
+      // auditing a streamed run would make the next micro-batch fail loud
+      // on a phantom "interrupted increment" (and repair would undo the
+      // audit). Empty adds resolve to the unchanged base; compaction
+      // collapses them like any delta. cluster_assignments still commits
+      // LAST (the streaming certificate keys on it).
+      Seq("blocking", StageBlockHot, StageMediaDf, StageDocFeatures)
+        .filter(s => Snapshots.lastCommitted(runDir, s).nonEmpty) // partial histories stay auditable
+        .foreach { s =>
+          Snapshots.commitDelta(spark, loadStage(s).limit(0).repartition(1), None,
+            runDir, s, runId, Snapshots.lastCounters(runDir, s),
+            Snapshots.lastRows(runDir, s).getOrElse(0L))
+        }
       val baseAssignRows = Snapshots.lastRows(runDir, "cluster_assignments").getOrElse(0L)
       Snapshots.commitDelta(spark, changed, Some((changedCl, Seq("cluster_id"))),
         runDir, "cluster_assignments", runId,

@@ -203,6 +203,13 @@ class ClusterAuditSpec extends SparkSpec {
     val ts = Snapshots.loadCommitted(spark, dir, EntityResolution.StageAuditTombstones)
     assert(ts.isDefined && ts.get.count() == 1L)
     assert(Snapshots.lastCommitted(dir, "cluster_assignments").contains(1L))
+    // LOCKSTEP: every committed increment stage moved with the audit (a
+    // no-op delta where the audit changed nothing), so streaming's
+    // equal-ids batch certificate survives an audit on the run
+    assert(Snapshots.lastCommitted(dir, "blocking").contains(1L))
+    assert(Snapshots.loadCommitted(spark, dir, "blocking").get
+      .as[(String, String)].collect().toSeq == Seq(("k1", "a1")),
+      "the blocking no-op delta must resolve to the unchanged base")
 
     // idempotent: the cut bridge is gone; nothing new commits
     val res2 = EntityResolution.auditRepair(spark, dir)

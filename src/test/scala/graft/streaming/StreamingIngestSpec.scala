@@ -119,4 +119,77 @@ class StreamingIngestSpec extends SparkSpec {
     assert(Eval.clusterEquality(
       Snapshots.loadCommitted(spark, tmp, "cluster_assignments").get, gold))
   }
+
+  test("auditRepair composes with streaming: lockstep deltas keep the batch certificate valid") {
+    import spark.implicits._
+    import graft.model.Span
+    import graft.operators.ClusterAudit
+    // crafted FALSE MERGE through the real pipeline: two strong triangles
+    // (8/9 shared tokens intra-entity) glued by a weak cross-entity BUNDLE
+    // (every x·y pair shares exactly the 5 head tokens — the RemovalSpec
+    // bridge recipe, which lands ~0.57 at a 0.55 threshold)
+    def doc(id: String, text: String) =
+      Doc(id, text.split(" ").zipWithIndex.map { case (t, i) => Span("text", t, "", i) })
+    // shared tokens sit LATE in the text (a shared PREFIX would let the
+    // Jaro-Winkler channel push the cross pairs past the strong floor);
+    // x0's tail "quince" gives its three cross pairs the 5-token overlap,
+    // so the glue is a 3-edge parallel bundle hanging off x0
+    val xs = Seq("quince", "grape", "plum").zipWithIndex.map { case (t, i) =>
+      doc(s"x$i", s"liberty alpha apple banana cherry nut oat pear $t") }
+    val ys = Seq("teff", "fonio", "emmer").zipWithIndex.map { case (t, i) =>
+      doc(s"y$i", s"liberty melon nut oat pear quince rye spelt $t") }
+    val cfg = EntityResolution.PipelineConfig(scoreThreshold = 0.55)
+    val tmp = Files.createTempDirectory("graft-stream-audit").toString
+    val base = EntityResolution.run(spark, (xs ++ ys).toDF(), cfg,
+      runDir = Some(tmp), runId = "base")
+    // fixture premises, checked loud from the run itself
+    def score(a: String, b: String): Option[Double] =
+      base.scoredPairs.where(col("doc_id_a") === a && col("doc_id_b") === b)
+        .select("score").collect().headOption.map(_.getDouble(0))
+    for ((a, b) <- Seq(("x0", "x1"), ("x0", "x2"), ("x1", "x2"),
+                       ("y0", "y1"), ("y0", "y2"), ("y1", "y2")))
+      assert(score(a, b).exists(_ >= 0.75), s"fixture: intra $a-$b ${score(a, b)}")
+    for (y <- Seq("y0", "y1", "y2"))
+      assert(score("x0", y).exists(s => s >= 0.55 && s < 0.75),
+        s"fixture: cross x0-$y must be weak-accepted, got ${score("x0", y)}")
+    for (x <- Seq("x1", "x2"); y <- Seq("y0", "y1", "y2"))
+      assert(score(x, y).forall(_ < 0.75), s"fixture: cross $x-$y ${score(x, y)}")
+    assert(base.assignments.select("cluster_id").distinct().count() == 1,
+      "fixture: the weak bundle must merge both entities at base")
+    base.release()
+
+    // batch 0 ingests before the audit (unrelated docs)
+    val z = Seq(doc("z0", "zebra yak xenon walrus vole umbra tern snail rook"),
+      doc("z1", "zebra yak xenon walrus vole umbra tern snail rat"))
+    assert(StreamingIngest.ingestBatch(spark, z.toDF(), tmp, batchId = 0L, cfg)
+      .isInstanceOf[StreamingIngest.Ingested])
+
+    // the audit cuts the cross bundle and must move EVERY increment stage
+    // in lockstep (no-op deltas where it changed nothing)
+    val aud = EntityResolution.auditRepair(spark, tmp,
+      ClusterAudit.AuditConfig(threshold = cfg.scoreThreshold))
+    assert(aud.counters("audit_committed") == 1L, s"audit must cut: ${aud.counters}")
+    assert(aud.counters("audit_bridges_cut") >= 2L,
+      s"the cross glue is a PARALLEL bundle: ${aud.counters}")
+    val ids = StreamingIngest.Stages.map(s => Snapshots.lastCommitted(tmp, s))
+    assert(ids.distinct.size == 1 && ids.head.contains(2L),
+      s"stages must stay in lockstep after the audit, got ${StreamingIngest.Stages.zip(ids)}")
+    val cutAsg = Snapshots.loadCommitted(spark, tmp, "cluster_assignments").get
+    assert(cutAsg.where(col("doc_id").startsWith("x")).select("cluster_id").distinct()
+      .exceptAll(cutAsg.where(col("doc_id").startsWith("y")).select("cluster_id").distinct())
+      .count() > 0, "x and y entities must be in different clusters after the audit")
+
+    // batch 1 MUST ingest cleanly — pre-fix this failed loud on a phantom
+    // "interrupted increment" (and its repair would have undone the audit)
+    val z2 = Seq(doc("z2", "zebra yak xenon walrus vole umbra tern snail robin"))
+    assert(StreamingIngest.ingestBatch(spark, z2.toDF(), tmp, batchId = 1L, cfg)
+      .isInstanceOf[StreamingIngest.Ingested])
+    // and the tombstoned cross pairs stay out of the ACCEPTED evidence
+    // (sub-threshold scored candidates legitimately remain in the stage —
+    // they are not edges)
+    val scored = Snapshots.loadCommitted(spark, tmp, "scored_pairs").get
+    assert(scored.where(col("doc_id_a").startsWith("x") &&
+      col("doc_id_b").startsWith("y") &&
+      col("score") >= cfg.scoreThreshold).isEmpty, "cut pairs must stay retracted")
+  }
 }
