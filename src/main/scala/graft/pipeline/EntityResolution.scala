@@ -1041,6 +1041,15 @@ object EntityResolution {
     * All compute is O(≥-threshold edges) for the one census join + cogroup
     * and O(changed clusters) after; idempotent — re-running the audit on
     * an audited history finds the cut bridges gone and commits nothing.
+    *
+    * Crash recovery: commits land scored_pairs → tombstones → no-op stage
+    * deltas → cluster_assignments (last, so streaming's run_id certificate
+    * stays sound). A crash mid-sequence leaves stages at unequal ids —
+    * [[graft.streaming.StreamingIngest.ingestBatch]] fails loud and its
+    * `repair` trims back to the common floor; the tombstone stage (not an
+    * increment stage) may retain the cut records, which is safe: re-running
+    * the audit re-cuts and re-commits, and a duplicate tombstone row is
+    * inert under the anti-join semantics.
     */
   def auditRepair(spark: SparkSession, runDir: String,
                   audit: ClusterAudit.AuditConfig = ClusterAudit.AuditConfig(),
