@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   *              [--snapshot-id K] [--sweep]
   *              [--add-entities N] [--add-seed S] [--exact] [--compact]
   *              [--remove-entities N] [--replace-entities N] [--expire-keep K]
-  *              [--ingest WATCH_DIR] [--compact-every K] [--repair]
+  *              [--ingest WATCH_DIR] [--compact-every K] [--audit-every K] [--repair]
   *              [--audit] [--audit-repair] [--audit-strong S] [--audit-min-side M]
   *
   * Synthesizes the deterministic docs corpus (BASELINE.json input_hint
@@ -330,7 +330,8 @@ object Main {
       val schema = org.apache.spark.sql.Encoders.product[graft.model.Doc].schema
       val stream = spark.readStream.schema(schema).parquet(ingestOpt.get)
       val q = graft.streaming.StreamingIngest.start(spark, stream, dir,
-        compactEvery = opts.getOrElse("--compact-every", "8").toInt)
+        compactEvery = opts.getOrElse("--compact-every", "8").toInt,
+        auditEvery = opts.getOrElse("--audit-every", "0").toInt)
       q.awaitTermination() // AvailableNow: drains what has arrived, then stops
       val after = graft.ckpt.Snapshots.lastCommitted(dir, "cluster_assignments").getOrElse(-1L)
       val assign = graft.ckpt.Snapshots.loadCommitted(spark, dir, "cluster_assignments").get

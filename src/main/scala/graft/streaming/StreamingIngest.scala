@@ -52,18 +52,32 @@ object StreamingIngest {
   private def batchRunId(batchId: Long): String = s"stream-$batchId"
 
   sealed trait BatchOutcome
-  /** The increment ran and committed (docs added, fresh pairs scored). */
-  final case class Ingested(docsAdded: Long, pairsFresh: Long, compacted: Boolean)
+  /** The increment ran and committed (docs added, fresh pairs scored).
+    * `auditCuts` is -1 when this batch was not an audit-cadence point,
+    * else the number of weak-bundle edges the audit cut (usually 0).
+    */
+  final case class Ingested(docsAdded: Long, pairsFresh: Long, compacted: Boolean,
+                            auditCuts: Long = -1L)
       extends BatchOutcome
   /** Replay of a fully-committed batch, or an empty micro-batch. */
   case object Skipped extends BatchOutcome
 
   /** Ingest ONE micro-batch (the `foreachBatch` body, callable directly
     * for deterministic tests and for driver-side replay tooling).
+    *
+    * `auditEvery` (opt-in, 0 = never): every K batches, run
+    * [[EntityResolution.auditRepair]] after the increment commits — the
+    * standing-deployment maintenance cadence. Arrivals accrete
+    * near-threshold evidence, so the merge tail GROWS with ingestion; the
+    * audit prunes it where it stands (cuts commit as lockstep deltas +
+    * tombstones, so the stream continues uninterrupted and later arrivals
+    * cannot re-derive a cut pair). The audit threshold follows
+    * `cfg.scoreThreshold`; a replayed batch skips its audit point (the
+    * next cadence point audits the same state — the audit is idempotent).
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame, runDir: String,
                   batchId: Long, cfg: PipelineConfig = PipelineConfig(),
-                  compactEvery: Int = 8): BatchOutcome = {
+                  compactEvery: Int = 8, auditEvery: Int = 0): BatchOutcome = {
     val runId = batchRunId(batchId)
     val lastIds = Stages.map(s => s -> Snapshots.lastCommitted(runDir, s)).toMap
     val clusterLast = lastIds("cluster_assignments").getOrElse(
@@ -81,10 +95,19 @@ object StreamingIngest {
     val added = res.counters.getOrElse("docs_added", 0L)
     val fresh = res.counters.getOrElse("pairs_fresh", 0L)
     res.release()
+    // audit BEFORE the compaction decision: its lockstep deltas deepen the
+    // chain, and compaction then collapses audit deltas with the batch's
+    val auditCuts =
+      if (auditEvery > 0 && (batchId + 1) % auditEvery == 0) {
+        val a = EntityResolution.auditRepair(spark, runDir,
+          graft.operators.ClusterAudit.AuditConfig(threshold = cfg.scoreThreshold),
+          runId = s"$runId-audit")
+        a.counters.getOrElse("audit_bridges_cut", 0L)
+      } else -1L
     val compacted = compactEvery > 0 &&
       Snapshots.chainDepth(runDir, "cluster_assignments") >= compactEvery
     if (compacted) EntityResolution.compactRun(spark, runDir, runId = s"$runId-compact")
-    Ingested(added, fresh, compacted)
+    Ingested(added, fresh, compacted, auditCuts)
   }
 
   /** Attach a streaming source of docs (same schema as the batch corpus)
@@ -98,16 +121,18 @@ object StreamingIngest {
             cfg: PipelineConfig = PipelineConfig(), compactEvery: Int = 8,
             trigger: Trigger = Trigger.AvailableNow(),
             checkpointLocation: Option[String] = None,
-            queryName: String = "graft-er-ingest"): StreamingQuery =
+            queryName: String = "graft-er-ingest",
+            auditEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointLocation.getOrElse(s"$runDir/_stream_checkpoint"))
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch, runDir, batchId, cfg, compactEvery) match {
-          case Ingested(n, p, c) =>
+        ingestBatch(spark, batch, runDir, batchId, cfg, compactEvery, auditEvery) match {
+          case Ingested(n, p, c, a) =>
             System.err.println(s"[ingest] batch=$batchId docs=$n pairs_fresh=$p" +
-              (if (c) " compacted" else ""))
+              (if (c) " compacted" else "") +
+              (if (a >= 0) s" audit_cuts=$a" else ""))
           case Skipped =>
             System.err.println(s"[ingest] batch=$batchId skipped (empty or replay)")
         }

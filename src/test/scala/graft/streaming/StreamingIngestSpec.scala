@@ -120,24 +120,31 @@ class StreamingIngestSpec extends SparkSpec {
       Snapshots.loadCommitted(spark, tmp, "cluster_assignments").get, gold))
   }
 
+  /** One all-text doc, token per span (the RemovalSpec bridge recipe). */
+  private def textDoc(id: String, text: String) =
+    Doc(id, text.split(" ").zipWithIndex.map { case (t, i) =>
+      graft.model.Span("text", t, "", i) })
+
+  /** A crafted FALSE MERGE through the real pipeline: two strong triangles
+    * (8/9 shared tokens intra-entity, ~0.92) glued by a weak cross-entity
+    * PARALLEL BUNDLE — the shared tokens sit LATE in the text (a shared
+    * prefix would let the Jaro-Winkler channel push the cross pairs past
+    * the strong floor); x0's tail "quince" gives its three cross pairs the
+    * 5-token overlap (~0.57 at a 0.55 threshold), so the glue is a 3-edge
+    * bundle hanging off x0 that single-edge bridge detection cannot see.
+    */
+  private def plantedMerge: Seq[Doc] =
+    Seq("quince", "grape", "plum").zipWithIndex.map { case (t, i) =>
+      textDoc(s"x$i", s"liberty alpha apple banana cherry nut oat pear $t") } ++
+    Seq("teff", "fonio", "emmer").zipWithIndex.map { case (t, i) =>
+      textDoc(s"y$i", s"liberty melon nut oat pear quince rye spelt $t") }
+
   test("auditRepair composes with streaming: lockstep deltas keep the batch certificate valid") {
     import spark.implicits._
-    import graft.model.Span
     import graft.operators.ClusterAudit
-    // crafted FALSE MERGE through the real pipeline: two strong triangles
-    // (8/9 shared tokens intra-entity) glued by a weak cross-entity BUNDLE
-    // (every x·y pair shares exactly the 5 head tokens — the RemovalSpec
-    // bridge recipe, which lands ~0.57 at a 0.55 threshold)
-    def doc(id: String, text: String) =
-      Doc(id, text.split(" ").zipWithIndex.map { case (t, i) => Span("text", t, "", i) })
-    // shared tokens sit LATE in the text (a shared PREFIX would let the
-    // Jaro-Winkler channel push the cross pairs past the strong floor);
-    // x0's tail "quince" gives its three cross pairs the 5-token overlap,
-    // so the glue is a 3-edge parallel bundle hanging off x0
-    val xs = Seq("quince", "grape", "plum").zipWithIndex.map { case (t, i) =>
-      doc(s"x$i", s"liberty alpha apple banana cherry nut oat pear $t") }
-    val ys = Seq("teff", "fonio", "emmer").zipWithIndex.map { case (t, i) =>
-      doc(s"y$i", s"liberty melon nut oat pear quince rye spelt $t") }
+    val docsXY = plantedMerge
+    val (xs, ys) = (docsXY.take(3), docsXY.drop(3))
+    def doc(id: String, text: String) = textDoc(id, text)
     val cfg = EntityResolution.PipelineConfig(scoreThreshold = 0.55)
     val tmp = Files.createTempDirectory("graft-stream-audit").toString
     val base = EntityResolution.run(spark, (xs ++ ys).toDF(), cfg,
@@ -191,5 +198,44 @@ class StreamingIngestSpec extends SparkSpec {
     assert(scored.where(col("doc_id_a").startsWith("x") &&
       col("doc_id_b").startsWith("y") &&
       col("score") >= cfg.scoreThreshold).isEmpty, "cut pairs must stay retracted")
+  }
+
+  test("audit cadence: auditEvery prunes the planted merge mid-stream") {
+    import spark.implicits._
+    val cfg = EntityResolution.PipelineConfig(scoreThreshold = 0.55)
+    val tmp = Files.createTempDirectory("graft-stream-cadence").toString
+    EntityResolution.run(spark, plantedMerge.toDF(), cfg,
+      runDir = Some(tmp), runId = "base").release()
+    def z(id: String, tail: String) =
+      textDoc(id, s"zebra yak xenon walrus vole umbra tern snail $tail")
+
+    // batch 0 is NOT a cadence point (auditEvery = 2): merge left standing
+    val out0 = StreamingIngest.ingestBatch(spark, Seq(z("z0", "rook"), z("z1", "rat")).toDF(),
+      tmp, batchId = 0L, cfg, auditEvery = 2)
+    out0 match {
+      case StreamingIngest.Ingested(_, _, _, a) => assert(a == -1L, s"no audit at batch 0: $a")
+      case o => fail(s"expected Ingested, got $o")
+    }
+    val merged = Snapshots.loadCommitted(spark, tmp, "cluster_assignments").get
+    assert(merged.where(col("doc_id").startsWith("x") || col("doc_id").startsWith("y"))
+      .select("cluster_id").distinct().count() == 1, "merge must still stand after batch 0")
+
+    // batch 1 IS the cadence point: the audit cuts the 3-edge bundle,
+    // commits lockstep, and the stream keeps going
+    val out1 = StreamingIngest.ingestBatch(spark, Seq(z("z2", "robin")).toDF(),
+      tmp, batchId = 1L, cfg, auditEvery = 2)
+    out1 match {
+      case StreamingIngest.Ingested(_, _, _, a) =>
+        assert(a >= 2L, s"cadence audit must cut the parallel bundle, cuts=$a")
+      case o => fail(s"expected Ingested, got $o")
+    }
+    val ids = StreamingIngest.Stages.map(s => Snapshots.lastCommitted(tmp, s))
+    assert(ids.distinct.size == 1, s"lockstep after cadence audit: $ids")
+    val after = Snapshots.loadCommitted(spark, tmp, "cluster_assignments").get
+    assert(after.where(col("doc_id").startsWith("x") || col("doc_id").startsWith("y"))
+      .select("cluster_id").distinct().count() == 2, "entities must be split by the audit")
+    assert(StreamingIngest.ingestBatch(spark, Seq(z("z3", "wren")).toDF(),
+      tmp, batchId = 2L, cfg, auditEvery = 2)
+      .isInstanceOf[StreamingIngest.Ingested], "the stream must continue past the audit")
   }
 }
