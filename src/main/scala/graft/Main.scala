@@ -331,7 +331,10 @@ object Main {
       val stream = spark.readStream.schema(schema).parquet(ingestOpt.get)
       val q = graft.streaming.StreamingIngest.start(spark, stream, dir,
         compactEvery = opts.getOrElse("--compact-every", "8").toInt,
-        auditEvery = opts.getOrElse("--audit-every", "0").toInt)
+        auditEvery = opts.getOrElse("--audit-every", "0").toInt,
+        audit = Some(graft.operators.ClusterAudit.AuditConfig(
+          strongScore = opts.getOrElse("--audit-strong", "0.75").toDouble,
+          minSideDocs = opts.getOrElse("--audit-min-side", "2").toInt)))
       q.awaitTermination() // AvailableNow: drains what has arrived, then stops
       val after = graft.ckpt.Snapshots.lastCommitted(dir, "cluster_assignments").getOrElse(-1L)
       val assign = graft.ckpt.Snapshots.loadCommitted(spark, dir, "cluster_assignments").get

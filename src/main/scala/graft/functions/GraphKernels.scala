@@ -150,6 +150,12 @@ object GraphKernels {
     * with score < `strong` whose removal leaves BOTH sides with at least
     * `minSide` nodes; stop when no bridge qualifies (or after `maxCuts`).
     *
+    * SUPERSEDED as the production kernel by [[weakCutRepair]] (which also
+    * cuts PARALLEL weak bridges this single-edge detector cannot see) —
+    * kept as the independent test oracle for the singleton-bundle
+    * equivalence property (GraphKernelsSpec). Do not wire back into
+    * [[graft.operators.ClusterAudit]].
+    *
     * The two guards encode the two failure modes they separate:
     *  - `score < strong`: a high-confidence bridge is legitimate sparse
     *    structure (chain/refinement recovery inside capped hot blocks is
@@ -220,46 +226,38 @@ object GraphKernels {
     var done = false
     while (!done && cuts.length < maxCuts) {
       // cut candidates against the SURVIVING graph (strong edges are never
-      // cut, but sides shrink as bundles fall — recompute per round)
-      val cands = weakBundleBridges(n, edges, scores, strong, i => active(i))
-      if (cands.isEmpty) done = true
-      else {
-        val comp = components(n, edges, i => !active(i))
-        val csize = new Array[Int](n)
-        comp.foreach(c => csize(c) += 1)
-        cands.find { es =>
-          if (cuts.length + es.length > maxCuts) false
-          else {
-            val skip = es.toSet
-            val comp2 = components(n, edges, j => !active(j) || skip(j))
-            val u = edges(es.head)._1
-            var side = 0; var j = 0
-            while (j < n) {
-              if (comp(j) == comp(u) && comp2(j) == comp2(u)) side += 1
-              j += 1
-            }
-            side >= minSide && csize(comp(u)) - side >= minSide
-          }
-        } match {
-          case Some(es) =>
-            es.foreach(e => active(e) = false)
-            cuts ++= es
-          case None => done = true
-        }
+      // cut, but sides shrink as bundles fall — recompute per round); side
+      // doc-counts are precomputed by the candidate DFS, so a round is
+      // O(n + m) regardless of how many candidates fail the guard
+      val cands = weakCutCandidates(n, edges, scores, strong, i => active(i))
+      cands.find(c => cuts.length + c.edges.length <= maxCuts &&
+        c.sideA >= minSide && c.sideB >= minSide) match {
+        case Some(c) =>
+          c.edges.foreach(e => active(e) = false)
+          cuts ++= c.edges
+        case None => done = true
       }
     }
     RepairOutcome(cuts.toArray, components(n, edges, i => !active(i)))
   }
 
-  /** Bundles of active weak (< `strong`) edges between DISTINCT strong-cores
-    * that are bridges of the contracted core graph — [[weakCutRepair]]'s cut
-    * candidates, ordered weakest-glue-first by (strongest member's score,
-    * bundle size, core key). Each returned bundle is the edge-index set it
-    * would cut. Strong active edges are intra-core by construction, so the
-    * bundles are the contracted graph's ONLY edges.
+  /** One cut candidate of [[weakCutRepair]]: the bundle's edge indices and
+    * the DOC counts of the two sides its removal separates.
     */
-  private def weakBundleBridges(n: Int, edges: Array[(Int, Int)], scores: Array[Double],
-                                strong: Double, active: Int => Boolean): Array[Array[Int]] = {
+  private final case class CutCandidate(edges: Array[Int], sideA: Int, sideB: Int)
+
+  /** Bundles of active weak (< `strong`) edges between DISTINCT strong-cores
+    * that are bridges of the contracted core graph, each with its two side
+    * doc-counts — ordered weakest-glue-first by (strongest member's score,
+    * bundle size, core key). Strong active edges are intra-core by
+    * construction, so the bundles are the contracted graph's ONLY edges,
+    * and contracted connectivity equals full-graph connectivity; ONE
+    * low-link DFS over the contracted graph therefore yields every
+    * candidate's sides (child-subtree doc weight vs component rest) in
+    * O(n + m) total — no per-candidate re-traversal of the full graph.
+    */
+  private def weakCutCandidates(n: Int, edges: Array[(Int, Int)], scores: Array[Double],
+                                strong: Double, active: Int => Boolean): Array[CutCandidate] = {
     val core = components(n, edges, i => !active(i) || scores(i) < strong)
     val bundles = mutable.LinkedHashMap.empty[(Int, Int), mutable.ArrayBuffer[Int]]
     var i = 0
@@ -276,14 +274,83 @@ object GraphKernels {
     if (bundles.isEmpty) return Array.empty
     val coreIds = core.distinct.sorted
     val cidx = coreIds.zipWithIndex.toMap
+    val k = coreIds.length
+    // doc weight per contracted node
+    val weight = new Array[Long](k)
+    i = 0
+    while (i < n) { weight(cidx(core(i))) += 1L; i += 1 }
     val keys = bundles.keys.toArray
+    val m = keys.length
     val cEdges = keys.map { case (a, b) => (cidx(a), cidx(b)) }
-    bridges(coreIds.length, cEdges).map(keys)
-      .sortBy { key =>
-        val es = bundles(key)
+    // CSR adjacency of the contracted simple graph
+    val off = new Array[Int](k + 1)
+    cEdges.foreach { case (u, v) => off(u + 1) += 1; off(v + 1) += 1 }
+    i = 0
+    while (i < k) { off(i + 1) += off(i); i += 1 }
+    val adjN = new Array[Int](2 * m)
+    val adjE = new Array[Int](2 * m)
+    val pos = java.util.Arrays.copyOf(off, k)
+    i = 0
+    while (i < m) {
+      val (u, v) = cEdges(i)
+      adjN(pos(u)) = v; adjE(pos(u)) = i; pos(u) += 1
+      adjN(pos(v)) = u; adjE(pos(v)) = i; pos(v) += 1
+      i += 1
+    }
+    // iterative low-link DFS carrying subtree doc weights: a contracted
+    // edge is a bridge iff low(child) > disc(parent); its child side holds
+    // sub(child) docs and the other side total − sub(child)
+    val disc = Array.fill(k)(-1)
+    val low = new Array[Int](k)
+    val parentEdge = Array.fill(k)(-1)
+    val ptr = new Array[Int](k)
+    val stack = new Array[Int](k)
+    val sub = new Array[Long](k)
+    val out = mutable.ArrayBuffer.empty[(Int, Long, Long)] // (cEdge, childDocs, totalDocs)
+    var timer = 0
+    var root = 0
+    while (root < k) {
+      if (disc(root) == -1) {
+        val compBridges = mutable.ArrayBuffer.empty[(Int, Long)]
+        var top = 0
+        stack(0) = root
+        disc(root) = timer; low(root) = timer; timer += 1
+        ptr(root) = off(root); sub(root) = weight(root)
+        while (top >= 0) {
+          val u = stack(top)
+          if (ptr(u) < off(u + 1)) {
+            val kk = ptr(u); ptr(u) += 1
+            val v = adjN(kk); val e = adjE(kk)
+            if (e != parentEdge(u)) {
+              if (disc(v) == -1) {
+                disc(v) = timer; low(v) = timer; timer += 1
+                parentEdge(v) = e; ptr(v) = off(v); sub(v) = weight(v)
+                top += 1; stack(top) = v
+              } else if (disc(v) < low(u)) low(u) = disc(v)
+            }
+          } else {
+            top -= 1
+            if (top >= 0) {
+              val p = stack(top)
+              if (low(u) < low(p)) low(p) = low(u)
+              sub(p) += sub(u)
+              if (low(u) > disc(p)) compBridges += ((parentEdge(u), sub(u)))
+            }
+          }
+        }
+        val total = sub(root)
+        compBridges.foreach { case (e, cw) => out += ((e, cw, total)) }
+      }
+      root += 1
+    }
+    out.toArray
+      .sortBy { case (e, _, _) =>
+        val key = keys(e); val es = bundles(key)
         (es.map(scores).max, es.length, key._1, key._2)
       }
-      .map(k => bundles(k).toArray)
+      .map { case (e, cw, total) =>
+        CutCandidate(bundles(keys(e)).toArray, cw.toInt, (total - cw).toInt)
+      }
   }
 
   /** Cohesion statistics of one cluster's accepted-edge graph (the audit
@@ -309,19 +376,8 @@ object GraphKernels {
     val minS = if (scores.isEmpty) 0.0 else scores.min
     val avgS = if (scores.isEmpty) 0.0 else scores.sum / scores.length
     val density = if (n < 2) 1.0 else 2.0 * edges.length / (n.toLong * (n - 1))
-    val csize = new Array[Int](n)
-    comp.foreach(c => csize(c) += 1)
-    val cuttable = weakBundleBridges(n, edges, scores, strong, _ => true).count { es =>
-      val skip = es.toSet
-      val comp2 = components(n, edges, skip)
-      val u = edges(es.head)._1
-      var side = 0; var j = 0
-      while (j < n) {
-        if (comp(j) == comp(u) && comp2(j) == comp2(u)) side += 1
-        j += 1
-      }
-      side >= minSide && csize(comp(u)) - side >= minSide
-    }
+    val cuttable = weakCutCandidates(n, edges, scores, strong, _ => true)
+      .count(c => c.sideA >= minSide && c.sideB >= minSide)
     ClusterStats(n, edges.length, minS, avgS, density,
       br.length, br.count(e => scores(e) < strong), cuttable, connected)
   }

@@ -1048,8 +1048,8 @@ object EntityResolution {
     * [[graft.streaming.StreamingIngest.ingestBatch]] fails loud and its
     * `repair` trims back to the common floor; the tombstone stage (not an
     * increment stage) may retain the cut records, which is safe: re-running
-    * the audit re-cuts and re-commits, and a duplicate tombstone row is
-    * inert under the anti-join semantics.
+    * the audit re-cuts, and the tombstone commit dedups against the
+    * standing records so the stage's rows/counters stay exact.
     */
   def auditRepair(spark: SparkSession, runDir: String,
                   audit: ClusterAudit.AuditConfig = ClusterAudit.AuditConfig(),
@@ -1082,9 +1082,18 @@ object EntityResolution {
         Snapshots.commit(spark, cutPairs, runDir, StageAuditTombstones, runId,
           Map("tombstoned_pairs" -> nCut))
       else {
+        // dedup against the standing tombstones: after a crash-mid-audit +
+        // streaming repair (which trims increment stages but not this one),
+        // the re-run re-cuts pairs already recorded here — re-appending
+        // them would leave the resolved relation holding duplicates and the
+        // rows/counter metadata drifted forever (anti-joins would still be
+        // correct, the accounting would not)
+        val standing = Snapshots.loadCommitted(spark, runDir, StageAuditTombstones).get
+        val freshTs = pin(cutPairs.join(standing, Seq("doc_id_a", "doc_id_b"), "left_anti"))
+        val nFresh = freshTs.count()
         val baseTs = Snapshots.lastRows(runDir, StageAuditTombstones).getOrElse(0L)
-        Snapshots.commitDelta(spark, cutPairs, None, runDir, StageAuditTombstones, runId,
-          Map("tombstoned_pairs" -> (baseTs + nCut)), baseTs + nCut)
+        Snapshots.commitDelta(spark, freshTs, None, runDir, StageAuditTombstones, runId,
+          Map("tombstoned_pairs" -> (baseTs + nFresh)), baseTs + nFresh)
       }
       // no-op deltas keep the OTHER increment stages in LOCKSTEP with the
       // two the audit really moves: StreamingIngest certifies batch

@@ -77,14 +77,24 @@ object StreamingIngest {
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame, runDir: String,
                   batchId: Long, cfg: PipelineConfig = PipelineConfig(),
-                  compactEvery: Int = 8, auditEvery: Int = 0): BatchOutcome = {
+                  compactEvery: Int = 8, auditEvery: Int = 0,
+                  audit: Option[graft.operators.ClusterAudit.AuditConfig] = None):
+      BatchOutcome = {
     val runId = batchRunId(batchId)
     val lastIds = Stages.map(s => s -> Snapshots.lastCommitted(runDir, s)).toMap
     val clusterLast = lastIds("cluster_assignments").getOrElse(
       sys.error(s"StreamingIngest: no committed base run under $runDir — bootstrap with " +
         "EntityResolution.run(runDir = Some(...)) before attaching a stream"))
-    if (Snapshots.runIdOf(runDir, "cluster_assignments", clusterLast).contains(runId))
-      return Skipped // replay of a fully-committed batch: ack and move on
+    // replay of a fully-committed batch: ack and move on. The certificate
+    // matches this batch's run_id OR any maintenance commit derived from it
+    // ("stream-k-audit" / "stream-k-compact"): a crash AFTER an in-batch
+    // audit or compaction committed but BEFORE the streaming checkpoint
+    // acked must also read as "batch k done", else the replay re-runs
+    // addDocuments and dies on the doc-id disjointness require forever.
+    // The "-" separator keeps "stream-1" from matching "stream-10"'s ids.
+    if (Snapshots.runIdOf(runDir, "cluster_assignments", clusterLast)
+        .exists(r => r == runId || r.startsWith(runId + "-")))
+      return Skipped
     if (lastIds.values.flatten.toSet.size != 1)
       sys.error(s"StreamingIngest: stages are at unequal snapshot ids " +
         s"(${lastIds.map { case (s, id) => s"$s=${id.getOrElse(-1L)}" }.mkString(", ")}) — " +
@@ -99,9 +109,12 @@ object StreamingIngest {
     // chain, and compaction then collapses audit deltas with the batch's
     val auditCuts =
       if (auditEvery > 0 && (batchId + 1) % auditEvery == 0) {
-        val a = EntityResolution.auditRepair(spark, runDir,
-          graft.operators.ClusterAudit.AuditConfig(threshold = cfg.scoreThreshold),
-          runId = s"$runId-audit")
+        // caller-tuned guards ride through; the edge-acceptance threshold
+        // ALWAYS follows the pipeline's (an audit reading different
+        // evidence than CC accepted would cut against phantom structure)
+        val acfg = audit.getOrElse(graft.operators.ClusterAudit.AuditConfig())
+          .copy(threshold = cfg.scoreThreshold)
+        val a = EntityResolution.auditRepair(spark, runDir, acfg, runId = s"$runId-audit")
         a.counters.getOrElse("audit_bridges_cut", 0L)
       } else -1L
     val compacted = compactEvery > 0 &&
@@ -122,13 +135,14 @@ object StreamingIngest {
             trigger: Trigger = Trigger.AvailableNow(),
             checkpointLocation: Option[String] = None,
             queryName: String = "graft-er-ingest",
-            auditEvery: Int = 0): StreamingQuery =
+            auditEvery: Int = 0,
+            audit: Option[graft.operators.ClusterAudit.AuditConfig] = None): StreamingQuery =
     stream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointLocation.getOrElse(s"$runDir/_stream_checkpoint"))
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch, runDir, batchId, cfg, compactEvery, auditEvery) match {
+        ingestBatch(spark, batch, runDir, batchId, cfg, compactEvery, auditEvery, audit) match {
           case Ingested(n, p, c, a) =>
             System.err.println(s"[ingest] batch=$batchId docs=$n pairs_fresh=$p" +
               (if (c) " compacted" else "") +

@@ -216,6 +216,20 @@ class ClusterAuditSpec extends SparkSpec {
     assert(res2.counters("audit_committed") == 0L)
     assert(Snapshots.lastCommitted(dir, "cluster_assignments").contains(1L))
 
+    // crash-mid-audit recovery: simulate the repair-trimmed state (the
+    // retraction deltas dropped, the standing tombstone retained) — the
+    // re-run re-cuts the same pair and the tombstone commit must DEDUP
+    // against the standing record, keeping rows/counters exact
+    Snapshots.dropSnapshot(dir, "cluster_assignments", 1L)
+    Snapshots.dropSnapshot(dir, "scored_pairs", 1L)
+    Snapshots.dropSnapshot(dir, "blocking", 1L)
+    val res3 = EntityResolution.auditRepair(spark, dir)
+    assert(res3.counters("audit_committed") == 1L, "the re-run must re-cut")
+    val ts3 = Snapshots.loadCommitted(spark, dir, EntityResolution.StageAuditTombstones).get
+    assert(ts3.count() == 1L, "re-tombstoning the same pair must not duplicate it")
+    assert(Snapshots.lastCounters(dir, EntityResolution.StageAuditTombstones)
+      .get("tombstoned_pairs").contains(1L))
+
     // exact increments refuse audited histories (tombstones are deliberate
     // divergence from the batch twin)
     val ex = intercept[IllegalArgumentException] {

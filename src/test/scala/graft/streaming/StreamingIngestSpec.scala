@@ -234,6 +234,13 @@ class StreamingIngestSpec extends SparkSpec {
     val after = Snapshots.loadCommitted(spark, tmp, "cluster_assignments").get
     assert(after.where(col("doc_id").startsWith("x") || col("doc_id").startsWith("y"))
       .select("cluster_id").distinct().count() == 2, "entities must be split by the audit")
+    // crash-replay of the AUDITED batch: the latest cluster_assignments
+    // run_id is now "stream-1-audit", not "stream-1" — the certificate
+    // must still read batch 1 as done (pre-fix it re-ran addDocuments and
+    // crash-looped on the doc-id disjointness require)
+    assert(StreamingIngest.ingestBatch(spark, Seq(z("z2", "robin")).toDF(),
+      tmp, batchId = 1L, cfg, auditEvery = 2) == StreamingIngest.Skipped,
+      "replay of an audited batch must be skipped by the certificate")
     assert(StreamingIngest.ingestBatch(spark, Seq(z("z3", "wren")).toDF(),
       tmp, batchId = 2L, cfg, auditEvery = 2)
       .isInstanceOf[StreamingIngest.Ingested], "the stream must continue past the audit")
