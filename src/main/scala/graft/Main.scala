@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   *              [--add-entities N] [--add-seed S] [--exact] [--compact]
   *              [--remove-entities N] [--replace-entities N] [--expire-keep K]
   *              [--ingest WATCH_DIR] [--compact-every K] [--audit-every K] [--repair]
-  *              [--audit] [--audit-repair] [--audit-strong S] [--audit-min-side M]
+  *              [--audit] [--audit-repair] [--audit-incremental]
+  *              [--audit-strong S] [--audit-min-side M]
   *
   * Synthesizes the deterministic docs corpus (BASELINE.json input_hint
   * shape), runs blocking → scoring → clustering (checkpointed to
@@ -82,7 +83,9 @@ import org.apache.spark.sql.SparkSession
   * CUTS weak bridges (score < `--audit-strong`, both sides ≥
   * `--audit-min-side` docs) and commits the repair as delta snapshots +
   * standing pair tombstones ([[EntityResolution.auditRepair]]), reporting
-  * pairwise F1 before/after vs the base-flag gold.
+  * pairwise F1 before/after vs the base-flag gold. `--audit-incremental`
+  * scopes the repair to clusters touched since the last audit's watermark
+  * (the cadence mode `--audit-every` uses; first audit runs full).
   */
 object Main {
 
@@ -197,7 +200,7 @@ object Main {
     */
   def auditRun(spark: SparkSession, dir: String, baseCfg: GenConfig,
                acfg: graft.operators.ClusterAudit.AuditConfig,
-               commit: Boolean, doEval: Boolean): String = {
+               commit: Boolean, doEval: Boolean, incremental: Boolean = false): String = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
     val assignBefore = graft.ckpt.Snapshots.loadCommitted(spark, dir, "cluster_assignments")
@@ -222,7 +225,7 @@ object Main {
       s""""weak_bridges":${c.getLong(4)},"clusters_with_weak_bridge":${c.getLong(5)},""" +
       s""""weak_bundles":${c.getLong(6)},"clusters_with_weak_bundle":${c.getLong(7)}"""
     val repairJson = if (commit) {
-      val res = EntityResolution.auditRepair(spark, dir, acfg)
+      val res = EntityResolution.auditRepair(spark, dir, acfg, incremental = incremental)
       val counters = res.counters.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val evalJson = if (doEval) {
@@ -354,7 +357,8 @@ object Main {
         strongScore = opts.getOrElse("--audit-strong", "0.75").toDouble,
         minSideDocs = opts.getOrElse("--audit-min-side", "2").toInt)
       println(auditRun(spark, dir, cfg, acfg,
-        commit = flags.contains("--audit-repair"), doEval))
+        commit = flags.contains("--audit-repair"), doEval,
+        incremental = flags.contains("--audit-incremental")))
       spark.stop()
       return
     }

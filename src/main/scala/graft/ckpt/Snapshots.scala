@@ -403,6 +403,20 @@ object Snapshots {
         "older build's snapshots would fail on schema mismatch downstream; failing loud here)")
   }
 
+  /** Whether a committed snapshot is a DELTA (resolves against a base). */
+  def isDelta(runDir: String, stage: String, snapshotId: Long): Boolean =
+    deltaMeta(runDir, stage, snapshotId).isDefined
+
+  /** The raw ADDS relation of one committed snapshot — a delta's appended
+    * rows, or a full snapshot's entire data — with NO base resolution. For
+    * consumers that scan the commit log itself (e.g. the incremental
+    * audit's touched-cluster derivation reads each unaudited delta's adds
+    * instead of resolving the whole chain).
+    */
+  def snapshotAdds(spark: SparkSession, runDir: String, stage: String,
+                   snapshotId: Long): DataFrame =
+    spark.read.parquet(s"${stageDir(runDir, stage)}/snapshot=$snapshotId/data")
+
   /** Delta metadata of a committed snapshot: (base snapshot id, remove-key
     * columns), or None for a full snapshot.
     */
@@ -473,8 +487,12 @@ object Snapshots {
   def compact(spark: SparkSession, runDir: String, stage: String, runId: String): Committed = {
     val id = lastCommitted(runDir, stage).getOrElse(
       sys.error(s"compact: no committed snapshot for $stage under $runDir"))
+    // `compacted_from` marks this full snapshot as STORAGE-level (relation
+    // bit-identical to snapshot `id`): log-scanning consumers — the
+    // incremental audit's touched-cluster derivation — skip it instead of
+    // treating an unmarked full snapshot as "everything may have changed"
     commit(spark, resolve(spark, runDir, stage, id), runDir, stage, runId,
-      counters(runDir, stage, id))
+      counters(runDir, stage, id) + ("compacted_from" -> id))
   }
 
   /** All lineage rows of a run directory (time-ordered snapshot log). */

@@ -1053,17 +1053,26 @@ object EntityResolution {
     */
   def auditRepair(spark: SparkSession, runDir: String,
                   audit: ClusterAudit.AuditConfig = ClusterAudit.AuditConfig(),
-                  runId: String = "audit"): Result = {
+                  runId: String = "audit", incremental: Boolean = false): Result = {
     val ctx = new IncrContext(spark, runDir, "auditRepair")
     import ctx.{loadStage, pin, tick}
     val oldScored = loadStage("scored_pairs")
     val oldAssign = loadStage("cluster_assignments")
-    val r = ClusterAudit.repair(oldAssign, oldScored, audit)
+    val (scopedAssign, scopeCounters) =
+      if (incremental) auditScope(spark, runDir, oldAssign) else (oldAssign, Map.empty[String, Long])
+    val r = ClusterAudit.repair(scopedAssign, oldScored, audit)
     tick("audit")
+    // the watermark is written AFTER all commits (below) — a crash between
+    // commit and watermark leaves a stale watermark, which only WIDENS the
+    // next audit's scope (idempotent re-audit), never narrows it
+    def stampWatermark(): Unit =
+      Snapshots.lastCommitted(runDir, "cluster_assignments")
+        .foreach(writeAuditWatermark(runDir, _))
     if (r.counters("audit_clusters_cut") == 0L) {
       r.release()
+      stampWatermark()
       Result(oldAssign, oldScored, loadStage("blocking"), 0,
-        r.counters + ("audit_committed" -> 0L))
+        r.counters ++ scopeCounters + ("audit_committed" -> 0L))
     } else {
       val cutPairs = pin(r.cutPairs)
       val changed = pin(r.changedAssignments)
@@ -1114,14 +1123,96 @@ object EntityResolution {
       val baseAssignRows = Snapshots.lastRows(runDir, "cluster_assignments").getOrElse(0L)
       Snapshots.commitDelta(spark, changed, Some((changedCl, Seq("cluster_id"))),
         runDir, "cluster_assignments", runId,
-        r.counters + ("audit_committed" -> 1L), baseAssignRows)
+        r.counters ++ scopeCounters + ("audit_committed" -> 1L), baseAssignRows)
       tick("commit")
       ctx.releasePins()
+      stampWatermark()
       Result(loadStage("cluster_assignments"), loadStage("scored_pairs"),
         loadStage("blocking"), 0,
-        r.counters ++ Map("audit_cut_pairs_removed" -> nCut, "audit_committed" -> 1L))
+        r.counters ++ scopeCounters ++
+          Map("audit_cut_pairs_removed" -> nCut, "audit_committed" -> 1L))
     }
   }
+
+  /** Scope of an `incremental = true` [[auditRepair]]: the assignments rows
+    * of clusters TOUCHED since the last audit's watermark, derived by
+    * scanning the cluster_assignments commit log — each unaudited DELTA's
+    * raw adds carry the full membership of every cluster that commit
+    * changed (all four verbs re-commit a cluster whenever its accepted-edge
+    * set gains or loses an edge: inserts/removals re-label every ACTIVE
+    * cluster, the audit re-labels every CUT cluster), and the previous
+    * audit left every other cluster at its per-cluster cut fixpoint
+    * ([[graft.functions.GraphKernels.weakCutRepair]] iterates until no
+    * bundle qualifies), so unscoped clusters cannot hold a qualifying cut.
+    * The scan is O(delta adds); the audit's join+cogroup then shuffles only
+    * the scoped clusters' members and edges — the cadence audit's cost
+    * follows the ARRIVAL rate, not the corpus size.
+    *
+    * Falls back LOUDLY to the full corpus (`audit_scope_full_fallback`)
+    * when no watermark exists (first audit, or a repair cleared it) or when
+    * an unaudited FULL snapshot is not a storage-level compaction
+    * (`compacted_from` manifest counter) — a batch re-run re-derives
+    * everything, so "touched" is undefined for it.
+    */
+  private def auditScope(spark: SparkSession, runDir: String,
+                         oldAssign: DataFrame): (DataFrame, Map[String, Long]) = {
+    val stage = "cluster_assignments"
+    val latest = Snapshots.lastCommitted(runDir, stage).getOrElse(-1L)
+    val fullFallback = (oldAssign, Map("audit_scope_full_fallback" -> 1L))
+    readAuditWatermark(runDir).filter(_ <= latest) match {
+      case None => fullFallback
+      case Some(w) =>
+        val range = Snapshots.snapshots(runDir, stage).filter(_ > w)
+        val rerunIds = range.filter(id => !Snapshots.isDelta(runDir, stage, id) &&
+          !Snapshots.counters(runDir, stage, id).contains("compacted_from"))
+        if (rerunIds.nonEmpty) fullFallback
+        else {
+          val deltaIds = range.filter(Snapshots.isDelta(runDir, stage, _))
+          val touched =
+            if (deltaIds.isEmpty) oldAssign.select(col("cluster_id")).limit(0)
+            else deltaIds.map(id => Snapshots.snapshotAdds(spark, runDir, stage, id)
+              .select(col("cluster_id"))).reduce(_ unionByName _).distinct()
+          val nTouched = touched.count()
+          // same dimension-size broadcast bound as the other incremental
+          // verbs (IncrContext.gated)
+          val tJ = if (nTouched <= 4000000L) broadcast(touched) else touched
+          (oldAssign.join(tJ, Seq("cluster_id"), "left_semi"),
+            Map("audit_incremental" -> 1L, "audit_scope_clusters" -> nTouched))
+        }
+    }
+  }
+
+  /** Watermark of the last completed audit: the cluster_assignments
+    * snapshot id through which [[auditRepair]] examined the clustering
+    * (written full or incremental, cuts or not). Lives OUTSIDE the
+    * snapshot log — losing or trimming it is always safe (the next
+    * incremental audit just falls back to a full pass).
+    */
+  private def auditWatermarkPath(runDir: String) =
+    java.nio.file.Paths.get(runDir, "_audit_watermark")
+
+  private[graft] def readAuditWatermark(runDir: String): Option[Long] = {
+    val p = auditWatermarkPath(runDir)
+    if (!java.nio.file.Files.exists(p)) None
+    else "\"audited_through\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p)).map(_.group(1).toLong)
+  }
+
+  private def writeAuditWatermark(runDir: String, id: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(runDir, s"_audit_watermark.tmp${ProcessHandle.current().pid()}")
+    java.nio.file.Files.writeString(tmp, s"""{"audited_through":$id}""")
+    java.nio.file.Files.move(tmp, auditWatermarkPath(runDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drop the audit watermark (the next incremental audit runs full).
+    * [[graft.streaming.StreamingIngest.repair]] calls this after trimming
+    * snapshots: a watermark pointing into trimmed history could otherwise
+    * hide a replayed increment's clusters from the scoped audit forever.
+    */
+  private[graft] def clearAuditWatermark(runDir: String): Unit =
+    java.nio.file.Files.deleteIfExists(auditWatermarkPath(runDir))
 
   /** UPSERT: replace committed documents with new versions (and insert any
     * genuinely new doc_ids in the same call) — the third incremental verb a

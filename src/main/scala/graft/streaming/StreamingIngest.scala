@@ -66,8 +66,11 @@ object StreamingIngest {
     * for deterministic tests and for driver-side replay tooling).
     *
     * `auditEvery` (opt-in, 0 = never): every K batches, run
-    * [[EntityResolution.auditRepair]] after the increment commits — the
-    * standing-deployment maintenance cadence. Arrivals accrete
+    * [[EntityResolution.auditRepair]] — INCREMENTAL (scoped to clusters
+    * touched since the last audit's watermark; the first cadence point has
+    * no watermark and audits everything) — after the increment commits: the
+    * standing-deployment maintenance cadence, priced by the arrival rate
+    * rather than the corpus size. Arrivals accrete
     * near-threshold evidence, so the merge tail GROWS with ingestion; the
     * audit prunes it where it stands (cuts commit as lockstep deltas +
     * tombstones, so the stream continues uninterrupted and later arrivals
@@ -114,7 +117,13 @@ object StreamingIngest {
         // evidence than CC accepted would cut against phantom structure)
         val acfg = audit.getOrElse(graft.operators.ClusterAudit.AuditConfig())
           .copy(threshold = cfg.scoreThreshold)
-        val a = EntityResolution.auditRepair(spark, runDir, acfg, runId = s"$runId-audit")
+        // incremental: scoped to clusters touched since the last audit's
+        // watermark (the first cadence point has no watermark and runs
+        // full), so the audit's cost follows the arrival rate, not the
+        // ever-growing corpus — without this, every K-th batch would pay an
+        // O(corpus) join+cogroup even on a perfectly healthy stream
+        val a = EntityResolution.auditRepair(spark, runDir, acfg,
+          runId = s"$runId-audit", incremental = true)
         a.counters.getOrElse("audit_bridges_cut", 0L)
       } else -1L
     val compacted = compactEvery > 0 &&
@@ -173,6 +182,11 @@ object StreamingIngest {
       // to readers but real disk; repair is the one safe sweep point
       Snapshots.cleanAttempts(runDir, s)
     }
+    // a watermark pointing into the trimmed range would hide the replayed
+    // increment's clusters from the scoped cadence audit forever (the
+    // replay re-commits the trimmed ids with different content); dropping
+    // it just makes the next incremental audit run full
+    EntityResolution.clearAuditWatermark(runDir)
     floor
   }
 }
