@@ -391,6 +391,15 @@ object Bench {
         val aud = EntityResolution.auditRepair(spark, runDirI, runId = "bench-audit")
         val nAud = aud.assignments.count()
         val tAud = (System.nanoTime() - t4) / 1e9
+        // the IDLE-cadence price: the audit above stamped the watermark, so
+        // an incremental re-audit scopes to zero clusters — the recurring
+        // cost a healthy stream pays at every --audit-every point (log scan
+        // + one empty cogroup), vs tAud's full O(corpus-edges) pass
+        val t5 = System.nanoTime()
+        val audIncr = EntityResolution.auditRepair(spark, runDirI,
+          runId = "bench-audit-incr", incremental = true)
+        val tAudIncr = (System.nanoTime() - t5) / 1e9
+        val scopeIncr = audIncr.counters.getOrElse("audit_scope_clusters", -1L)
         val baseGold = DocGen.gold(spark, baseCfg).toDF()
         val labeledBase = EntityResolution.labeledPairs(rm.blocking, baseGold).cache()
         val audBefore = graft.eval.Eval.pairwiseF1(rm.assignments, labeledBase)
@@ -410,6 +419,8 @@ object Bench {
           f""""roundtrip_assignment_diff":$rtDiff},""" +
           f""""er_audit":{"docs":$nAud,"audit_repair_sec":$tAud%.3f,""" +
           f""""docs_per_sec":${nAud / tAud}%.1f,""" +
+          f""""audit_incremental_idle_sec":$tAudIncr%.3f,""" +
+          f""""audit_incremental_scope_clusters":$scopeIncr,""" +
           f""""edges_cut":${aud.counters.getOrElse("audit_bridges_cut", -1L)},""" +
           f""""clusters_cut":${aud.counters.getOrElse("audit_clusters_cut", -1L)},""" +
           f""""clusters_over_cap":${aud.counters.getOrElse("audit_clusters_over_cap", -1L)},""" +
