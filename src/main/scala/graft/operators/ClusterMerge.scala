@@ -1,0 +1,334 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Recall-side counterpart of [[ClusterAudit]]: post-clustering FALSE-SPLIT
+  * audit and opt-in MERGE REPAIR over the scored-pair evidence.
+  *
+  * Why it exists: the pairwise threshold is precision's tool, and its cost
+  * is recall's tail — a gold entity whose cross pairs all score a hair
+  * below threshold stays split forever, and no single pair can ever fix it
+  * (each was individually rejected, correctly, at pair scope). Structurally
+  * though, a false split is visible BETWEEN clusters the same way a false
+  * merge is visible inside one: as a corroborated BUNDLE of near-threshold
+  * edges connecting two clusters that nothing vetoes (the 2×/4× headroom
+  * checks measured exactly this tail — 19 / 1.2M split entities, attributed
+  * to scorer-threshold near-misses, not blocking; BENCH/BASELINE.md). One
+  * near-miss is noise; `minEvidence` INDEPENDENT near-misses between the
+  * same two clusters with no tombstone and no hard-conflict veto is an
+  * entity the threshold split.
+  *
+  * The repair PROMOTES the corroborating edges: their committed score is
+  * rewritten to `max(score, promoteScore)` with `promoteScore ≥` the cut
+  * audit's `strongScore`. That single representation choice buys the whole
+  * composition story for free:
+  *  - every downstream consumer derives accepted edges as
+  *    `score >= threshold` (batch CC, insert/heal increments, the cut
+  *    audit's cluster graph) — promoted pairs are accepted everywhere with
+  *    zero new code paths;
+  *  - the cut audit contracts ≥-strong cores before cutting
+  *    ([[graft.functions.GraphKernels.weakCutRepair]]) — a promoted bundle
+  *    is strong structure by construction, so cut→merge→cut oscillation is
+  *    impossible;
+  *  - fresh-pair derivation anti-joins committed pairs — a promoted pair is
+  *    still IN the committed set, so increments can neither re-derive nor
+  *    silently demote it.
+  * The pre-promotion rows are preserved verbatim in a standing ledger stage
+  * ([[graft.pipeline.EntityResolution.StageMergePromotions]]) — the audit
+  * upgrades testimony, it never destroys the original record.
+  *
+  * Anti-oscillation with the cut audit, the other direction: a cluster pair
+  * connected by ANY standing tombstone (a pair [[ClusterAudit]] cut) is
+  * NEVER merged, however much band evidence it shows — the cut audit saw
+  * that boundary and judged it, and surviving near-misses across it are the
+  * same noise it cut. A cluster pair with any hard-conflict-vetoed cross
+  * pair (M7, reference AMPI.scala:280,293) is never merged either: the two
+  * sides assert disjoint exclusive identities.
+  *
+  * DRIFT rule (crash recovery + invariant repair): an ACCEPTED
+  * (`score >= threshold`) pair whose endpoints sit in different clusters
+  * should not exist — CC puts both endpoints of every accepted edge in one
+  * cluster. It appears exactly when a merge repair crashed between its
+  * scored_pairs commit and its cluster_assignments commit. Such cluster
+  * pairs merge unconditionally (the accepted edge IS the clustering
+  * invariant) and promote nothing further — a crashed repair re-run
+  * converges to the same end state it would have committed.
+  *
+  * Scale shape: the evidence relation is one filter over scored pairs
+  * (`score >= mergeFloor`, plus the rare vetoed rows), joined to the
+  * assignments on EACH endpoint (two shuffle joins, O(band + accepted
+  * drift) rows — cross-cluster survivors only after the `ca =!= cb`
+  * filter), one aggregation on the canonical cluster pair, and a
+  * broadcast-joined relabel of the few merged clusters. The merge graph
+  * itself (qualifying cluster pairs) runs through the same
+  * [[ConnectedComponents]] loop as the main pipeline — merged components
+  * are transitive (A↔B and B↔C evidence merges all three), not pair-local.
+  */
+object ClusterMerge {
+
+  final case class MergeConfig(
+      /** edge acceptance — MUST match the pipeline's scoreThreshold */
+      threshold: Double = 0.60,
+      /** near-miss band lower bound: evidence is score ∈ [mergeFloor,
+        * threshold). Junk cross-entity candidates score well below this
+        * (the blocking junk-pair band sits near ~0.35 on this corpus
+        * family); same-entity threshold near-misses sit just under the
+        * threshold. */
+      mergeFloor: Double = 0.50,
+      /** minimum INDEPENDENT near-miss edges between a cluster pair before
+        * the split is judged false. Two distinct candidate pairs already
+        * span ≥ 3 distinct docs (pairs are deduplicated), so coincidence
+        * must strike the same cluster pair twice. The irreducible floor:
+        * a 1+1 split of a two-doc entity has exactly one possible cross
+        * pair and can never qualify at minEvidence ≥ 2 — counted loudly
+        * in `merge_pairs_below_evidence`, never silently dropped. */
+      minEvidence: Int = 2,
+      /** committed score of promoted pairs: max(score, promoteScore).
+        * MUST be ≥ the cut audit's strongScore or the next cut audit
+        * would see the promoted bundle as weak and oscillate. */
+      promoteScore: Double = 0.75,
+      /** promote only the top-k band edges per cluster pair (by score,
+        * then canonical pair order for determinism) — one edge already
+        * restores connectivity; k adds robustness to later removals
+        * without promoting a |A|·|B| band wholesale. The rest stay at
+        * their honest below-threshold scores (`merge_band_edges_not_
+        * promoted`). */
+      maxPromotePerPair: Int = 8)
+
+  /** One census row per cross-cluster evidence pair (canonical
+    * `cluster_a < cluster_b`). `qualifies` = would merge under the config;
+    * the veto flags say why not when it wouldn't.
+    */
+  final case class MergeCensusRow(cluster_a: String, cluster_b: String,
+                                  n_band_edges: Long, n_drift_edges: Long,
+                                  max_score: Double, avg_score: Double,
+                                  tombstone_veto: Boolean, conflict_veto: Boolean,
+                                  qualifies: Boolean)
+
+  final case class MergeResult(
+      /** full assignments with merged clusters re-labeled (min cluster_id
+        * of the merged component = min doc_id overall, exactly the label a
+        * batch run accepting the promoted edges would produce) */
+      assignments: DataFrame,
+      /** only the re-labeled rows (doc_id, cluster_id) — every doc of every
+        * merged cluster; the delta-commit `adds` side */
+      changedAssignments: DataFrame,
+      /** pre-merge cluster_ids of the merged clusters — the delta-commit
+        * keyed-`removes` side */
+      changedClusters: DataFrame,
+      /** promoted pair rows in the FULL scored-pair schema, score already
+        * rewritten to max(score, promoteScore) — the scored_pairs delta
+        * `adds` side (paired with keyed removes of the same pairs) */
+      promotedPairs: DataFrame,
+      /** the same pairs' ORIGINAL rows, verbatim — the standing promotion
+        * ledger's rows */
+      promotionLedger: DataFrame,
+      counters: Map[String, Long],
+      private val cached: Seq[DataFrame],
+      private val ccCheckpointIds: Set[Int] = Set.empty) {
+    /** Release the persisted intermediates AND the merge graph's CC
+      * checkpoints backing the result relations. Call only after the
+      * outputs are materialized (committed/collected): the checkpoints
+      * have truncated lineage, so `assignments`/`changedAssignments` are
+      * NOT recomputable afterwards (same contract as
+      * [[graft.pipeline.EntityResolution.Result.release]]). */
+    def release(): Unit = {
+      cached.foreach(_.unpersist())
+      cached.headOption.foreach { df =>
+        val sc = df.sparkSession.sparkContext
+        ccCheckpointIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      }
+    }
+  }
+
+  /** The cross-cluster evidence relation: scored rows at `score >=
+    * mergeFloor` (or hard-conflict-vetoed, which score 0.0 but must ride
+    * as veto evidence) with both endpoints' cluster ids attached and
+    * intra-cluster rows dropped. Canonical orientation `cluster_a <
+    * cluster_b`.
+    */
+  private def crossEvidence(assignments: DataFrame, scoredPairs: DataFrame,
+                            cfg: MergeConfig): DataFrame = {
+    val vetoCol = if (scoredPairs.columns.contains("vetoed")) col("vetoed") else lit(false)
+    val aSide = assignments.select(col("doc_id").as("doc_id_a"), col("cluster_id").as("ca"))
+    val bSide = assignments.select(col("doc_id").as("doc_id_b"), col("cluster_id").as("cb"))
+    scoredPairs
+      .withColumn("vetoed_ev", vetoCol)
+      .where(col("score") >= cfg.mergeFloor || col("vetoed_ev"))
+      .join(aSide, "doc_id_a").join(bSide, "doc_id_b")
+      .where(col("ca") =!= col("cb"))
+      .withColumn("cluster_a", least(col("ca"), col("cb")))
+      .withColumn("cluster_b", greatest(col("ca"), col("cb")))
+      .drop("ca", "cb")
+  }
+
+  /** Cluster pairs connected by a standing tombstone (a pair the cut audit
+    * severed): (cluster_a, cluster_b) canonical. Tombstones are O(cuts)
+    * rows; the two assignment joins are the cost.
+    */
+  private def tombstoneVetoPairs(assignments: DataFrame, tombstones: DataFrame): DataFrame = {
+    val aSide = assignments.select(col("doc_id").as("doc_id_a"), col("cluster_id").as("ca"))
+    val bSide = assignments.select(col("doc_id").as("doc_id_b"), col("cluster_id").as("cb"))
+    tombstones.select("doc_id_a", "doc_id_b")
+      .join(aSide, "doc_id_a").join(bSide, "doc_id_b")
+      .where(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("cluster_a"),
+        greatest(col("ca"), col("cb")).as("cluster_b"))
+      .distinct()
+  }
+
+  /** Read-only census (one row per cross-cluster evidence pair). */
+  def census(assignments: DataFrame, scoredPairs: DataFrame,
+             tombstones: Option[DataFrame] = None,
+             cfg: MergeConfig = MergeConfig()): DataFrame = {
+    val ev = crossEvidence(assignments, scoredPairs, cfg)
+    val inBand = col("score") >= cfg.mergeFloor && col("score") < cfg.threshold &&
+      !col("vetoed_ev")
+    val isDrift = col("score") >= cfg.threshold && !col("vetoed_ev")
+    val agg = ev.groupBy("cluster_a", "cluster_b").agg(
+      sum(when(inBand, 1L).otherwise(0L)).as("n_band_edges"),
+      sum(when(isDrift, 1L).otherwise(0L)).as("n_drift_edges"),
+      max(when(inBand, col("score"))).as("max_score"),
+      avg(when(inBand, col("score"))).as("avg_score"),
+      max(col("vetoed_ev")).as("conflict_veto"))
+    val withTs = tombstones match {
+      case Some(ts) =>
+        val veto = tombstoneVetoPairs(assignments, ts).withColumn("tombstone_veto", lit(true))
+        agg.join(veto, Seq("cluster_a", "cluster_b"), "left")
+          .withColumn("tombstone_veto", coalesce(col("tombstone_veto"), lit(false)))
+      case None => agg.withColumn("tombstone_veto", lit(false))
+    }
+    withTs
+      .withColumn("max_score", coalesce(col("max_score"), lit(0.0)))
+      .withColumn("avg_score", coalesce(col("avg_score"), lit(0.0)))
+      .withColumn("qualifies",
+        col("n_drift_edges") > 0L ||
+          (col("n_band_edges") >= cfg.minEvidence &&
+            !col("conflict_veto") && !col("tombstone_veto")))
+      .select("cluster_a", "cluster_b", "n_band_edges", "n_drift_edges",
+        "max_score", "avg_score", "tombstone_veto", "conflict_veto", "qualifies")
+  }
+
+  /** Run the merge: returns the full re-labeled assignments, the promoted
+    * pair rows (full scored schema), the promotion ledger rows, and
+    * counters. `tombstones` must be the standing cut-audit tombstones when
+    * the history has any (also applied pair-level to promotion candidates,
+    * defensively — a tombstoned pair is never promoted even inside an
+    * otherwise-qualifying bundle).
+    */
+  def merge(assignments: DataFrame, scoredPairs: DataFrame,
+            tombstones: Option[DataFrame] = None,
+            cfg: MergeConfig = MergeConfig()): MergeResult = {
+    require(cfg.mergeFloor < cfg.threshold,
+      s"mergeFloor ${cfg.mergeFloor} must be below threshold ${cfg.threshold}")
+    require(cfg.minEvidence >= 1, "minEvidence must be >= 1")
+    val spark = assignments.sparkSession
+
+    val cen = census(assignments, scoredPairs, tombstones, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qual = cen.where(col("qualifies"))
+
+    // census counters in one aggregation pass
+    val cRow = cen.agg(
+      count(lit(1)),
+      coalesce(sum(when(col("qualifies"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("n_drift_edges") > 0L, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("tombstone_veto") && !col("qualifies"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("conflict_veto") && !col("qualifies"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(!col("qualifies") && !col("conflict_veto") && !col("tombstone_veto") &&
+        col("n_band_edges") < cfg.minEvidence, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("n_drift_edges") > 0L, col("n_drift_edges")).otherwise(0L)), lit(0L))
+    ).collect()(0)
+    val censusCounters = Map(
+      "merge_cluster_pairs_seen" -> cRow.getLong(0),
+      "merge_cluster_pairs_qualified" -> cRow.getLong(1),
+      "merge_cluster_pairs_drift" -> cRow.getLong(2),
+      "merge_vetoed_tombstone" -> cRow.getLong(3),
+      "merge_vetoed_conflict" -> cRow.getLong(4),
+      "merge_pairs_below_evidence" -> cRow.getLong(5),
+      "merge_drift_edges" -> cRow.getLong(6))
+
+    if (censusCounters("merge_cluster_pairs_qualified") == 0L) {
+      val empty0 = assignments.limit(0)
+      val emptyP = scoredPairs.limit(0)
+      return MergeResult(assignments, empty0.select(col("doc_id"), col("cluster_id")),
+        empty0.select(col("cluster_id")), emptyP, emptyP,
+        censusCounters ++ Map("merge_clusters_merged" -> 0L, "merge_components" -> 0L,
+          "merge_docs_relabeled" -> 0L, "merge_pairs_promoted" -> 0L,
+          "merge_band_edges_not_promoted" -> 0L),
+        Seq(cen))
+    }
+
+    // ---- merge graph: transitive components over qualifying cluster pairs.
+    // Labels are min cluster_id per component; cluster ids are min member
+    // doc_ids, so the merged label is the min doc_id of the union — exactly
+    // batch semantics over the promoted edge set.
+    val cc = ConnectedComponents.runTracked(spark,
+      qual.select(col("cluster_a").as("src"), col("cluster_b").as("dst")),
+      pairsPreDeduped = true)
+    // merged components are few by construction (each needed a qualifying
+    // evidence bundle); materialize the relabel map driver-free via a
+    // broadcast join below. CC's (doc_id, cluster_id) output here maps an
+    // OLD cluster id to its merged component's min cluster id.
+    val mergeMap = cc.assignments
+      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("cluster_id_new"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nMergedClusters = mergeMap.count()
+    val nComponents = mergeMap.select("cluster_id_new").distinct().count()
+
+    val changed = assignments.join(broadcast(mergeMap), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id_new").as("cluster_id"),
+        col("cluster_id").as("cluster_id_old"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRelabeled = changed.where(col("cluster_id") =!= col("cluster_id_old")).count()
+    val changedRows = changed.select(col("doc_id"), col("cluster_id"))
+    val changedClusters = changed.select(col("cluster_id_old").as("cluster_id")).distinct()
+    val merged = assignments.join(broadcast(mergeMap.select("cluster_id")),
+        Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(changedRows)
+
+    // ---- promotions: top-k band edges per BAND-qualifying cluster pair
+    // (drift-qualifying pairs already carry accepted edges — a crashed
+    // repair's re-run relabels without double-promoting). Tombstoned pairs
+    // are excluded defensively even inside a qualifying bundle.
+    val bandQual = qual.where(col("n_drift_edges") === 0L)
+      .select("cluster_a", "cluster_b")
+    val ev = crossEvidence(assignments, scoredPairs, cfg)
+      .where(col("score") >= cfg.mergeFloor && col("score") < cfg.threshold &&
+        !col("vetoed_ev"))
+      .join(broadcast(bandQual), Seq("cluster_a", "cluster_b"), "left_semi")
+    val evClean = tombstones match {
+      case Some(ts) => ev.join(ts.select("doc_id_a", "doc_id_b"),
+        Seq("doc_id_a", "doc_id_b"), "left_anti")
+      case None => ev
+    }
+    val ranked = evClean.withColumn("rk",
+      row_number().over(Window.partitionBy("cluster_a", "cluster_b")
+        .orderBy(col("score").desc, col("doc_id_a"), col("doc_id_b"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val toPromote = ranked.where(col("rk") <= cfg.maxPromotePerPair)
+      .select("doc_id_a", "doc_id_b")
+    val nNotPromoted = ranked.where(col("rk") > cfg.maxPromotePerPair).count()
+
+    // original rows verbatim (the ledger) and the promoted twins (the
+    // scored_pairs delta adds) — full original schema both ways
+    val ledger = scoredPairs.join(toPromote, Seq("doc_id_a", "doc_id_b"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val promoted = ledger.withColumn("score",
+      greatest(col("score"), lit(cfg.promoteScore)))
+    val nPromoted = ledger.count()
+
+    val counters = censusCounters ++ Map(
+      "merge_clusters_merged" -> nMergedClusters,
+      "merge_components" -> nComponents,
+      "merge_docs_relabeled" -> nRelabeled,
+      "merge_pairs_promoted" -> nPromoted,
+      "merge_band_edges_not_promoted" -> nNotPromoted)
+    MergeResult(merged, changedRows, changedClusters, promoted, ledger, counters,
+      Seq(cen, mergeMap, changed, ranked, ledger), cc.checkpointIds)
+  }
+}
