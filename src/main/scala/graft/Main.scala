@@ -10,12 +10,15 @@ import org.apache.spark.sql.SparkSession
   * Usage (all args optional):
   *   graft.Main [--entities N] [--docs-per-entity D] [--seed S]
   *              [--run-dir DIR] [--resume] [--threads T] [--no-eval]
+  *              [--threshold T]
   *              [--snapshot-id K] [--sweep]
   *              [--add-entities N] [--add-seed S] [--exact] [--compact]
   *              [--remove-entities N] [--replace-entities N] [--expire-keep K]
   *              [--ingest WATCH_DIR] [--compact-every K] [--audit-every K] [--repair]
   *              [--audit] [--audit-repair] [--audit-incremental]
   *              [--audit-strong S] [--audit-min-side M]
+  *              [--merge-audit] [--merge-repair] [--merge-floor F]
+  *              [--merge-min-evidence E] [--merge-promote P] [--merge-every K]
   *
   * Synthesizes the deterministic docs corpus (BASELINE.json input_hint
   * shape), runs blocking → scoring → clustering (checkpointed to
@@ -86,6 +89,15 @@ import org.apache.spark.sql.SparkSession
   * pairwise F1 before/after vs the base-flag gold. `--audit-incremental`
   * scopes the repair to clusters touched since the last audit's watermark
   * (the cadence mode `--audit-every` uses; first audit runs full).
+  *
+  * `--merge-audit` (with --run-dir): FALSE-SPLIT CENSUS — read-only report
+  * of cluster pairs connected by corroborated near-miss evidence (score ∈
+  * [`--merge-floor`, threshold), ≥ `--merge-min-evidence` independent
+  * edges, no tombstone / hard-conflict veto). `--merge-repair`
+  * additionally MERGES the qualifying pairs and promotes the evidence to
+  * `--merge-promote` in scored_pairs ([[EntityResolution.mergeRepair]];
+  * the recall-side twin of `--audit-repair`), reporting pairwise F1
+  * before/after vs the base-flag gold.
   */
 object Main {
 
@@ -95,13 +107,14 @@ object Main {
     * JSON metrics line.
     */
   def incrementRun(spark: SparkSession, dir: String, baseCfg: GenConfig,
-                   addCfg: GenConfig, doEval: Boolean, exact: Boolean = false): String = {
+                   addCfg: GenConfig, doEval: Boolean, exact: Boolean = false,
+                   pipe: EntityResolution.PipelineConfig = EntityResolution.PipelineConfig()): String = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val newDocs = DocGen.docs(spark, addCfg).map(d => d.copy(doc_id = "n" + d.doc_id))
       .toDF().cache()
     val nNew = newDocs.count()
-    val res = EntityResolution.addDocuments(spark, newDocs, dir, exact = exact)
+    val res = EntityResolution.addDocuments(spark, newDocs, dir, pipe, exact = exact)
     val nClusters = res.assignments.select("cluster_id").distinct().count()
     val secs = (System.nanoTime() - t0) / 1e9
     val evalJson = if (doEval) {
@@ -130,7 +143,8 @@ object Main {
     * the SURVIVING gold. Returns the JSON metrics line.
     */
   def removalRun(spark: SparkSession, dir: String, baseCfg: GenConfig,
-                 nRemove: Int, doEval: Boolean): String = {
+                 nRemove: Int, doEval: Boolean,
+                 pipe: EntityResolution.PipelineConfig = EntityResolution.PipelineConfig()): String = {
     import org.apache.spark.sql.functions.col
     val t0 = System.nanoTime()
     val gold = DocGen.gold(spark, baseCfg).toDF().cache()
@@ -138,7 +152,7 @@ object Main {
       .orderBy("entity_id").limit(nRemove)
     val removedDocs = gold.join(removedEntities, "entity_id").select("doc_id").cache()
     val nRm = removedDocs.count()
-    val res = EntityResolution.removeDocuments(spark, removedDocs, dir)
+    val res = EntityResolution.removeDocuments(spark, removedDocs, dir, pipe)
     val nClusters = res.assignments.select("cluster_id").distinct().count()
     val secs = (System.nanoTime() - t0) / 1e9
     val evalJson = if (doEval) {
@@ -165,12 +179,13 @@ object Main {
     * metrics line.
     */
   def replaceRun(spark: SparkSession, dir: String, baseCfg: GenConfig,
-                 nReplace: Int, doEval: Boolean): String = {
+                 nReplace: Int, doEval: Boolean,
+                 pipe: EntityResolution.PipelineConfig = EntityResolution.PipelineConfig()): String = {
     val t0 = System.nanoTime()
     val revised = DocGen.docsRevised(spark, baseCfg,
       nReplace.toLong * baseCfg.docsPerEntity).toDF().cache()
     val nRev = revised.count()
-    val res = EntityResolution.replaceDocuments(spark, revised, dir)
+    val res = EntityResolution.replaceDocuments(spark, revised, dir, pipe)
     val nClusters = res.assignments.select("cluster_id").distinct().count()
     val secs = (System.nanoTime() - t0) / 1e9
     val evalJson = if (doEval) {
@@ -245,6 +260,59 @@ object Main {
     s"""{"audit":{$censusJson},"seconds":${(System.nanoTime() - t0) / 1e9}$repairJson}"""
   }
 
+  /** Runnable surface over [[graft.operators.ClusterMerge]] /
+    * [[EntityResolution.mergeRepair]]: false-split census of the committed
+    * clustering (always), plus — when `commit` — the corroborated-near-miss
+    * merge committed as scored_pairs/cluster_assignments deltas + the
+    * standing promotion ledger, with pairwise F1 before/after against the
+    * gold regenerated from the BASE corpus flags. Returns the JSON metrics
+    * line.
+    */
+  def mergeRun(spark: SparkSession, dir: String, baseCfg: GenConfig,
+               mcfg: graft.operators.ClusterMerge.MergeConfig,
+               commit: Boolean, doEval: Boolean): String = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val assignBefore = graft.ckpt.Snapshots.loadCommitted(spark, dir, "cluster_assignments")
+      .getOrElse(sys.error(s"--merge-audit: no committed cluster_assignments under $dir"))
+    val scored = graft.ckpt.Snapshots.loadCommitted(spark, dir, "scored_pairs")
+      .getOrElse(sys.error(s"--merge-audit: no committed scored_pairs under $dir"))
+    val tombstones = graft.ckpt.Snapshots.loadCommitted(spark, dir,
+      EntityResolution.StageAuditTombstones)
+    val cen = graft.operators.ClusterMerge.census(assignBefore, scored, tombstones, mcfg)
+    val c = cen.agg(
+      count(lit(1)),
+      coalesce(sum(when(col("qualifies"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("n_drift_edges") > 0L, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("tombstone_veto"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("conflict_veto"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(col("n_band_edges")), lit(0L))
+    ).collect()(0)
+    val censusJson =
+      s""""cluster_pairs_with_evidence":${c.getLong(0)},"cluster_pairs_qualified":${c.getLong(1)},""" +
+      s""""cluster_pairs_drift":${c.getLong(2)},"cluster_pairs_tombstone_vetoed":${c.getLong(3)},""" +
+      s""""cluster_pairs_conflict_vetoed":${c.getLong(4)},"band_edges":${c.getLong(5)}"""
+    val repairJson = if (commit) {
+      val res = EntityResolution.mergeRepair(spark, dir, mcfg)
+      val counters = res.counters.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val evalJson = if (doEval) {
+        val gold = DocGen.gold(spark, baseCfg).toDF()
+        val blocking = graft.ckpt.Snapshots.loadCommitted(spark, dir, "blocking").get
+        val labeled = EntityResolution.labeledPairs(blocking, gold).cache()
+        val before = Eval.pairwiseF1(assignBefore, labeled)
+        val after = Eval.pairwiseF1(res.assignments, labeled)
+        labeled.unpersist()
+        s""","f1_before":${before.f1},"precision_before":${before.precision},""" +
+          s""""recall_before":${before.recall},"f1_after":${after.f1},""" +
+          s""""precision_after":${after.precision},"recall_after":${after.recall},""" +
+          s""""cluster_equality_after":${Eval.clusterEquality(res.assignments, gold)}"""
+      } else ""
+      s""","repair":$counters$evalJson"""
+    } else ""
+    s"""{"merge_audit":{$censusJson},"seconds":${(System.nanoTime() - t0) / 1e9}$repairJson}"""
+  }
+
   /** Read-only re-evaluation of an older cluster_assignments snapshot
     * (the runnable time-travel surface over Snapshots.loadSnapshot).
     */
@@ -269,6 +337,10 @@ object Main {
       docsPerEntity = opts.getOrElse("--docs-per-entity", "3").toInt,
       seed = opts.getOrElse("--seed", "42").toLong)
     val threads = opts.getOrElse("--threads", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    // pair-acceptance threshold for the batch run AND the audit verbs (the
+    // audits must read the same evidence CC accepted)
+    val scoreThr = opts.getOrElse("--threshold", "0.60").toDouble
+    val pipeCfg = EntityResolution.PipelineConfig(scoreThreshold = scoreThr)
     val runDir = opts.get("--run-dir")
     val resume = flags.contains("--resume")
     val doEval = !flags.contains("--no-eval")
@@ -333,11 +405,18 @@ object Main {
       val schema = org.apache.spark.sql.Encoders.product[graft.model.Doc].schema
       val stream = spark.readStream.schema(schema).parquet(ingestOpt.get)
       val q = graft.streaming.StreamingIngest.start(spark, stream, dir,
+        cfg = pipeCfg,
         compactEvery = opts.getOrElse("--compact-every", "8").toInt,
         auditEvery = opts.getOrElse("--audit-every", "0").toInt,
         audit = Some(graft.operators.ClusterAudit.AuditConfig(
           strongScore = opts.getOrElse("--audit-strong", "0.75").toDouble,
-          minSideDocs = opts.getOrElse("--audit-min-side", "2").toInt)))
+          minSideDocs = opts.getOrElse("--audit-min-side", "2").toInt)),
+        mergeEvery = opts.getOrElse("--merge-every", "0").toInt,
+        merge = Some(graft.operators.ClusterMerge.MergeConfig(
+          mergeFloor = opts.getOrElse("--merge-floor", "0.50").toDouble,
+          minEvidence = opts.getOrElse("--merge-min-evidence", "2").toInt,
+          promoteScore = opts.getOrElse("--merge-promote",
+            math.max(0.75, scoreThr + 0.05).toString).toDouble)))
       q.awaitTermination() // AvailableNow: drains what has arrived, then stops
       val after = graft.ckpt.Snapshots.lastCommitted(dir, "cluster_assignments").getOrElse(-1L)
       val assign = graft.ckpt.Snapshots.loadCommitted(spark, dir, "cluster_assignments").get
@@ -350,10 +429,26 @@ object Main {
       return
     }
 
+    if (flags.contains("--merge-audit") || flags.contains("--merge-repair")) {
+      val dir = runDir.getOrElse(
+        sys.error("--merge-audit requires --run-dir (the committed run to audit)"))
+      val mcfg = graft.operators.ClusterMerge.MergeConfig(
+        threshold = scoreThr,
+        mergeFloor = opts.getOrElse("--merge-floor", "0.50").toDouble,
+        minEvidence = opts.getOrElse("--merge-min-evidence", "2").toInt,
+        promoteScore = opts.getOrElse("--merge-promote",
+          math.max(0.75, scoreThr + 0.05).toString).toDouble)
+      println(mergeRun(spark, dir, cfg, mcfg,
+        commit = flags.contains("--merge-repair"), doEval))
+      spark.stop()
+      return
+    }
+
     if (flags.contains("--audit") || flags.contains("--audit-repair")) {
       val dir = runDir.getOrElse(
         sys.error("--audit requires --run-dir (the committed run to audit)"))
       val acfg = graft.operators.ClusterAudit.AuditConfig(
+        threshold = scoreThr,
         strongScore = opts.getOrElse("--audit-strong", "0.75").toDouble,
         minSideDocs = opts.getOrElse("--audit-min-side", "2").toInt)
       println(auditRun(spark, dir, cfg, acfg,
@@ -367,7 +462,7 @@ object Main {
     if (repOpt.isDefined) {
       val dir = runDir.getOrElse(
         sys.error("--replace-entities requires --run-dir (the committed run to upsert into)"))
-      println(replaceRun(spark, dir, cfg, repOpt.get.toInt, doEval))
+      println(replaceRun(spark, dir, cfg, repOpt.get.toInt, doEval, pipe = pipeCfg))
       spark.stop()
       return
     }
@@ -376,7 +471,7 @@ object Main {
     if (rmOpt.isDefined) {
       val dir = runDir.getOrElse(
         sys.error("--remove-entities requires --run-dir (the committed run to retract from)"))
-      println(removalRun(spark, dir, cfg, rmOpt.get.toInt, doEval))
+      println(removalRun(spark, dir, cfg, rmOpt.get.toInt, doEval, pipe = pipeCfg))
       spark.stop()
       return
     }
@@ -387,7 +482,7 @@ object Main {
         sys.error("--add-entities requires --run-dir (the committed base run to extend)"))
       val addCfg = cfg.copy(numEntities = addOpt.get.toInt,
         seed = opts.getOrElse("--add-seed", (cfg.seed + 1000).toString).toLong)
-      println(incrementRun(spark, dir, cfg, addCfg, doEval, exact = flags.contains("--exact")))
+      println(incrementRun(spark, dir, cfg, addCfg, doEval, exact = flags.contains("--exact"), pipe = pipeCfg))
       spark.stop()
       return
     }
@@ -395,7 +490,7 @@ object Main {
     val t0 = System.nanoTime()
     val docs = DocGen.docs(spark, cfg).toDF().cache()
     val nDocs = docs.count()
-    val res = EntityResolution.run(spark, docs, runDir = runDir, resume = resume)
+    val res = EntityResolution.run(spark, docs, pipeCfg, runDir = runDir, resume = resume)
     val nClusters = res.assignments.select("cluster_id").distinct().count()
     val secs = (System.nanoTime() - t0) / 1e9
 

@@ -78,13 +78,18 @@ object ClusterMerge {
         * family); same-entity threshold near-misses sit just under the
         * threshold. */
       mergeFloor: Double = 0.50,
-      /** minimum INDEPENDENT near-miss edges between a cluster pair before
-        * the split is judged false. Two distinct candidate pairs already
-        * span ≥ 3 distinct docs (pairs are deduplicated), so coincidence
-        * must strike the same cluster pair twice. The irreducible floor:
-        * a 1+1 split of a two-doc entity has exactly one possible cross
-        * pair and can never qualify at minEvidence ≥ 2 — counted loudly
-        * in `merge_pairs_below_evidence`, never silently dropped. */
+      /** minimum independent CORROBORATION of a cluster pair before the
+        * split is judged false: direct near-miss edges between the two
+        * clusters PLUS their common band-neighbors (clusters with a band
+        * edge to both — the triangle-closure witnesses a 1+1+1 entity
+        * shatter leaves when each fragment pair has only one possible
+        * cross pair). Both forms require coincidence to strike the same
+        * cluster pair twice: two junk edges between the same pair, or a
+        * junk TRIANGLE — quadratically/cubically rare where one junk
+        * near-miss is merely rare. The irreducible floor: a 1+1 split of
+        * a two-doc entity has one possible cross pair and no third
+        * fragment to witness it — counted loudly in
+        * `merge_pairs_below_evidence`, never silently dropped. */
       minEvidence: Int = 2,
       /** committed score of promoted pairs: max(score, promoteScore).
         * MUST be ≥ the cut audit's strongScore or the next cut audit
@@ -104,6 +109,7 @@ object ClusterMerge {
     */
   final case class MergeCensusRow(cluster_a: String, cluster_b: String,
                                   n_band_edges: Long, n_drift_edges: Long,
+                                  n_witnesses: Long,
                                   max_score: Double, avg_score: Double,
                                   tombstone_veto: Boolean, conflict_veto: Boolean,
                                   qualifies: Boolean)
@@ -201,14 +207,31 @@ object ClusterMerge {
           .withColumn("tombstone_veto", coalesce(col("tombstone_veto"), lit(false)))
       case None => agg.withColumn("tombstone_veto", lit(false))
     }
-    withTs
+    // triangle-closure witnesses: for each unordered cluster pair, the
+    // distinct third clusters with a veto-free band edge to BOTH sides —
+    // computed on the deduplicated cluster-pair graph (tiny: one node per
+    // cluster touched by band evidence), not on the edge multiset. Pairs
+    // across a vetoed boundary contribute no adjacency: a tombstoned or
+    // conflicted boundary must not witness its neighbours' merges.
+    val pairGraph = withTs
+      .where(col("n_band_edges") >= 1L && !col("conflict_veto") && !col("tombstone_veto"))
+      .select("cluster_a", "cluster_b")
+    val adj = pairGraph.select(col("cluster_a").as("x"), col("cluster_b").as("z"))
+      .unionByName(pairGraph.select(col("cluster_b").as("x"), col("cluster_a").as("z")))
+    val witnesses = adj.as("l").join(adj.as("r"),
+        col("l.z") === col("r.z") && col("l.x") < col("r.x"))
+      .groupBy(col("l.x").as("cluster_a"), col("r.x").as("cluster_b"))
+      .agg(count_distinct(col("l.z")).as("n_witnesses"))
+    withTs.join(witnesses, Seq("cluster_a", "cluster_b"), "left")
+      .withColumn("n_witnesses", coalesce(col("n_witnesses"), lit(0L)))
       .withColumn("max_score", coalesce(col("max_score"), lit(0.0)))
       .withColumn("avg_score", coalesce(col("avg_score"), lit(0.0)))
       .withColumn("qualifies",
         col("n_drift_edges") > 0L ||
-          (col("n_band_edges") >= cfg.minEvidence &&
+          (col("n_band_edges") >= 1L &&
+            col("n_band_edges") + col("n_witnesses") >= cfg.minEvidence &&
             !col("conflict_veto") && !col("tombstone_veto")))
-      .select("cluster_a", "cluster_b", "n_band_edges", "n_drift_edges",
+      .select("cluster_a", "cluster_b", "n_band_edges", "n_drift_edges", "n_witnesses",
         "max_score", "avg_score", "tombstone_veto", "conflict_veto", "qualifies")
   }
 
@@ -239,7 +262,7 @@ object ClusterMerge {
       coalesce(sum(when(col("tombstone_veto") && !col("qualifies"), 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(col("conflict_veto") && !col("qualifies"), 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(!col("qualifies") && !col("conflict_veto") && !col("tombstone_veto") &&
-        col("n_band_edges") < cfg.minEvidence, 1L).otherwise(0L)), lit(0L)),
+        col("n_band_edges") + col("n_witnesses") < cfg.minEvidence, 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(col("n_drift_edges") > 0L, col("n_drift_edges")).otherwise(0L)), lit(0L))
     ).collect()(0)
     val censusCounters = Map(

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.ckpt.Snapshots
 import graft.eval.Eval
-import graft.operators.{Blocking, ClusterAudit, ConnectedComponents, PairScoring}
+import graft.operators.{Blocking, ClusterAudit, ClusterMerge, ConnectedComponents, PairScoring}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,17 @@ object EntityResolution {
     * semantics). O(cuts) rows — broadcast-sized by construction.
     */
   val StageAuditTombstones = "audit_tombstones"
+
+  /** Standing PROMOTION LEDGER written by [[mergeRepair]]: the ORIGINAL
+    * (pre-promotion) rows of every pair the merge audit promoted above
+    * threshold. The promotion itself lives in scored_pairs (the pairs'
+    * committed scores are rewritten to ≥ promoteScore — see
+    * [[graft.operators.ClusterMerge]] for why that one representation
+    * choice makes every accepted-edge consumer honor the merge with zero
+    * new code paths); this stage is the audit trail that preserves what
+    * the scorer actually said. O(promotions) rows.
+    */
+  val StageMergePromotions = "merge_promotions"
 
   final case class PipelineConfig(
       /** 12 bands × 4 minhash rows: same-entity recall per band ≈ j⁴
@@ -403,6 +414,14 @@ object EntityResolution {
         "(auditRepair cut false-merge bridges a batch run over the corpus would re-derive), " +
         "so an \"exact\" extension cannot be batch-equal. Either continue with insert mode " +
         "(the default, which honors the tombstones) or re-run the batch pipeline and re-audit")
+    // merge promotions are the same deliberate divergence recall-side: a
+    // batch run re-scores the promoted pairs below threshold and re-splits
+    require(Snapshots.lastCommitted(runDir, StageMergePromotions).isEmpty,
+      s"addDocuments(exact = true): the run at $runDir carries merge-audit promotions " +
+        "(mergeRepair promoted corroborated near-miss pairs above threshold — a batch run " +
+        "would re-score them below it and re-split), so an \"exact\" extension cannot be " +
+        "batch-equal. Either continue with insert mode (the default, which honors the " +
+        "promoted scores) or re-run the batch pipeline and re-merge")
     val oldBlocking = loadStage("blocking")
     val oldScored = loadStage("scored_pairs")
     val oldAssign = loadStage("cluster_assignments")
@@ -1134,6 +1153,110 @@ object EntityResolution {
     }
   }
 
+  /** RECALL-side audit + repair of a committed run: find FALSE SPLITS —
+    * gold entities the pairwise threshold left in separate clusters — via
+    * corroborated near-miss evidence bundles between cluster pairs, and
+    * commit the merges ([[graft.operators.ClusterMerge]]; the cut audit
+    * [[auditRepair]] is the precision-side twin). Commits, in crash-safe
+    * order:
+    *
+    *  - scored_pairs: a delta REPLACING the promoted pairs' rows with
+    *    their score rewritten to max(score, promoteScore) — row count
+    *    unchanged; every later consumer's `score >= threshold` filter now
+    *    accepts them (increments cannot re-derive them either: fresh-pair
+    *    derivation anti-joins the committed set, which still holds them);
+    *  - [[StageMergePromotions]]: the original rows verbatim (standing
+    *    ledger, dedup-appended on crash re-runs like the tombstone stage);
+    *  - no-op lockstep deltas on the untouched stages (the streaming
+    *    certificate's "all stages at equal ids" invariant, exactly as
+    *    [[auditRepair]]);
+    *  - cluster_assignments LAST: merged clusters re-labeled to the min
+    *    cluster_id of their merged component (= min doc_id of the union,
+    *    batch semantics over the promoted edge set).
+    *
+    * Anti-oscillation is structural in both directions: standing cut-audit
+    * tombstones veto any merge across their boundary, and promoted bundles
+    * enter the cut audit's graph at ≥ strongScore (trusted structure, never
+    * cut). A crash between the scored_pairs commit and the assignments
+    * commit leaves accepted cross-cluster edges — the re-run merges those
+    * unconditionally via the drift rule without double-promoting, so
+    * recovery converges to the same end state.
+    *
+    * All compute is O(scored rows at score ≥ mergeFloor) for the two
+    * endpoint joins + one cluster-pair aggregation, then O(merged
+    * clusters) — the maintenance verb's cost follows the near-miss band,
+    * not the corpus.
+    *
+    * Note for `--sweep` consumers: a promoted pair's committed `score` no
+    * longer equals the γ-blend of its committed channels (the channels
+    * stay honest; the ledger holds the original row) — re-blending sweeps
+    * reproduce the scorer's opinion, not the audit's override.
+    */
+  def mergeRepair(spark: SparkSession, runDir: String,
+                  merge: ClusterMerge.MergeConfig = ClusterMerge.MergeConfig(),
+                  runId: String = "merge"): Result = {
+    val ctx = new IncrContext(spark, runDir, "mergeRepair")
+    import ctx.{loadStage, pin, tick}
+    val oldScored = loadStage("scored_pairs")
+    val oldAssign = loadStage("cluster_assignments")
+    val tombstones = Snapshots.loadCommitted(spark, runDir, StageAuditTombstones)
+    val r = ClusterMerge.merge(oldAssign, oldScored, tombstones, merge)
+    tick("merge-audit")
+    if (r.counters("merge_cluster_pairs_qualified") == 0L) {
+      r.release()
+      Result(oldAssign, oldScored, loadStage("blocking"), 0,
+        r.counters + ("merge_committed" -> 0L))
+    } else {
+      val promoted = pin(r.promotedPairs)
+      val ledger = pin(r.promotionLedger)
+      val changed = pin(r.changedAssignments)
+      val changedCl = pin(r.changedClusters)
+      r.release()
+      val nPromoted = promoted.count()
+      val basePairRows = Snapshots.lastRows(runDir, "scored_pairs").getOrElse(0L)
+      val scoredCounters = Snapshots.lastCounters(runDir, "scored_pairs")
+      // REPLACE the promoted pairs' rows: removes keyed by the pair, adds =
+      // the promoted twins. Row count is unchanged by construction.
+      Snapshots.commitDelta(spark, promoted,
+        Some((promoted.select("doc_id_a", "doc_id_b"), Seq("doc_id_a", "doc_id_b"))),
+        runDir, "scored_pairs", runId,
+        Map("docs_scored_against" -> scoredCounters.getOrElse("docs_scored_against", 0L),
+          "merge_promoted_pairs" -> nPromoted),
+        basePairRows)
+      if (Snapshots.lastCommitted(runDir, StageMergePromotions).isEmpty)
+        Snapshots.commit(spark, ledger, runDir, StageMergePromotions, runId,
+          Map("promoted_pairs" -> nPromoted))
+      else {
+        // dedup against the standing ledger (crash re-runs; same accounting
+        // argument as the tombstone stage)
+        val standing = Snapshots.loadCommitted(spark, runDir, StageMergePromotions).get
+        val fresh = pin(ledger.join(standing.select("doc_id_a", "doc_id_b"),
+          Seq("doc_id_a", "doc_id_b"), "left_anti"))
+        val nFresh = fresh.count()
+        val baseLed = Snapshots.lastRows(runDir, StageMergePromotions).getOrElse(0L)
+        Snapshots.commitDelta(spark, fresh, None, runDir, StageMergePromotions, runId,
+          Map("promoted_pairs" -> (baseLed + nFresh)), baseLed + nFresh)
+      }
+      // lockstep no-op deltas (see auditRepair for why; assignments LAST)
+      Seq("blocking", StageBlockHot, StageMediaDf, StageDocFeatures)
+        .filter(s => Snapshots.lastCommitted(runDir, s).nonEmpty)
+        .foreach { s =>
+          Snapshots.commitDelta(spark, loadStage(s).limit(0).repartition(1), None,
+            runDir, s, runId, Snapshots.lastCounters(runDir, s),
+            Snapshots.lastRows(runDir, s).getOrElse(0L))
+        }
+      val baseAssignRows = Snapshots.lastRows(runDir, "cluster_assignments").getOrElse(0L)
+      Snapshots.commitDelta(spark, changed, Some((changedCl, Seq("cluster_id"))),
+        runDir, "cluster_assignments", runId,
+        r.counters + ("merge_committed" -> 1L), baseAssignRows)
+      tick("commit")
+      ctx.releasePins()
+      Result(loadStage("cluster_assignments"), loadStage("scored_pairs"),
+        loadStage("blocking"), 0,
+        r.counters ++ Map("merge_committed" -> 1L, "merge_promoted_pairs" -> nPromoted))
+    }
+  }
+
   /** Scope of an `incremental = true` [[auditRepair]]: the assignments rows
     * of clusters TOUCHED since the last audit's watermark, derived by
     * scanning the cluster_assignments commit log — each unaudited DELTA's
@@ -1263,8 +1386,9 @@ object EntityResolution {
   def compactRun(spark: SparkSession, runDir: String, runId: String = "compact"): Unit =
     (Seq("blocking", "scored_pairs", "cluster_assignments",
       StageBlockHot, StageDocFeatures, StageMediaDf) ++
-      // tombstones exist only on audited histories
-      Snapshots.lastCommitted(runDir, StageAuditTombstones).map(_ => StageAuditTombstones))
+      // tombstones/promotions exist only on audited histories
+      Snapshots.lastCommitted(runDir, StageAuditTombstones).map(_ => StageAuditTombstones) ++
+      Snapshots.lastCommitted(runDir, StageMergePromotions).map(_ => StageMergePromotions))
       .foreach(stage => Snapshots.compact(spark, runDir, stage, runId))
 
   /** DESTRUCTIVE: retire old snapshots of every stage, keeping the newest
@@ -1277,7 +1401,8 @@ object EntityResolution {
     */
   def expireRun(runDir: String, keepLast: Int = 1): Map[String, Seq[Long]] =
     Seq("blocking", "scored_pairs", "cluster_assignments",
-      StageBlockHot, StageDocFeatures, StageMediaDf, StageAuditTombstones)
+      StageBlockHot, StageDocFeatures, StageMediaDf, StageAuditTombstones,
+      StageMergePromotions)
       .map(stage => stage -> Snapshots.expire(runDir, stage, keepLast)).toMap
 
   /** Derive labeled pairs at shared blocking keys (FIXTURES.md §2):

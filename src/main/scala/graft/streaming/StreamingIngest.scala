@@ -57,7 +57,7 @@ object StreamingIngest {
     * else the number of weak-bundle edges the audit cut (usually 0).
     */
   final case class Ingested(docsAdded: Long, pairsFresh: Long, compacted: Boolean,
-                            auditCuts: Long = -1L)
+                            auditCuts: Long = -1L, mergeClusters: Long = -1L)
       extends BatchOutcome
   /** Replay of a fully-committed batch, or an empty micro-batch. */
   case object Skipped extends BatchOutcome
@@ -81,7 +81,9 @@ object StreamingIngest {
   def ingestBatch(spark: SparkSession, batch: DataFrame, runDir: String,
                   batchId: Long, cfg: PipelineConfig = PipelineConfig(),
                   compactEvery: Int = 8, auditEvery: Int = 0,
-                  audit: Option[graft.operators.ClusterAudit.AuditConfig] = None):
+                  audit: Option[graft.operators.ClusterAudit.AuditConfig] = None,
+                  mergeEvery: Int = 0,
+                  merge: Option[graft.operators.ClusterMerge.MergeConfig] = None):
       BatchOutcome = {
     val runId = batchRunId(batchId)
     val lastIds = Stages.map(s => s -> Snapshots.lastCommitted(runDir, s)).toMap
@@ -126,10 +128,26 @@ object StreamingIngest {
           runId = s"$runId-audit", incremental = true)
         a.counters.getOrElse("audit_bridges_cut", 0L)
       } else -1L
+    // merge-audit cadence (opt-in, 0 = never): the recall-side twin.
+    // UNSCOPED by design — near-miss evidence between two OLD clusters can
+    // first qualify when an arrival adds the second witness, so a touched-
+    // cluster scope would miss it; the cost shape is two corpus-side joins
+    // whose band side is filter-tiny (AQE broadcasts it), i.e. corpus
+    // SCANS, not corpus shuffles. Pick a coarser cadence than the cut
+    // audit when scans dominate. Runs AFTER the cut audit so fresh
+    // tombstones veto same-batch re-merges.
+    val mergeClusters =
+      if (mergeEvery > 0 && (batchId + 1) % mergeEvery == 0) {
+        val mcfg = merge.getOrElse(graft.operators.ClusterMerge.MergeConfig())
+          .copy(threshold = cfg.scoreThreshold)
+        val m = EntityResolution.mergeRepair(spark, runDir, mcfg,
+          runId = s"$runId-merge")
+        m.counters.getOrElse("merge_clusters_merged", 0L)
+      } else -1L
     val compacted = compactEvery > 0 &&
       Snapshots.chainDepth(runDir, "cluster_assignments") >= compactEvery
     if (compacted) EntityResolution.compactRun(spark, runDir, runId = s"$runId-compact")
-    Ingested(added, fresh, compacted, auditCuts)
+    Ingested(added, fresh, compacted, auditCuts, mergeClusters)
   }
 
   /** Attach a streaming source of docs (same schema as the batch corpus)
@@ -145,17 +163,21 @@ object StreamingIngest {
             checkpointLocation: Option[String] = None,
             queryName: String = "graft-er-ingest",
             auditEvery: Int = 0,
-            audit: Option[graft.operators.ClusterAudit.AuditConfig] = None): StreamingQuery =
+            audit: Option[graft.operators.ClusterAudit.AuditConfig] = None,
+            mergeEvery: Int = 0,
+            merge: Option[graft.operators.ClusterMerge.MergeConfig] = None): StreamingQuery =
     stream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointLocation.getOrElse(s"$runDir/_stream_checkpoint"))
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch, runDir, batchId, cfg, compactEvery, auditEvery, audit) match {
-          case Ingested(n, p, c, a) =>
+        ingestBatch(spark, batch, runDir, batchId, cfg, compactEvery, auditEvery, audit,
+            mergeEvery, merge) match {
+          case Ingested(n, p, c, a, m) =>
             System.err.println(s"[ingest] batch=$batchId docs=$n pairs_fresh=$p" +
               (if (c) " compacted" else "") +
-              (if (a >= 0) s" audit_cuts=$a" else ""))
+              (if (a >= 0) s" audit_cuts=$a" else "") +
+              (if (m >= 0) s" merge_clusters=$m" else ""))
           case Skipped =>
             System.err.println(s"[ingest] batch=$batchId skipped (empty or replay)")
         }

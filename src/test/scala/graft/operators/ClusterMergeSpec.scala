@@ -121,6 +121,42 @@ class ClusterMergeSpec extends SparkSpec {
     r.release()
   }
 
+  test("a 1+1+1 shatter heals via triangle-closure witnesses (one edge per pair)") {
+    val a = assign(("a1", "a1"), ("a2", "a2"), ("a3", "a3"))
+    // each fragment pair has exactly ONE possible cross pair — per-pair
+    // multiplicity can never reach 2, but each pair has the third fragment
+    // as a common band-neighbor
+    val p = pairs(("a1", "a2", 0.55), ("a1", "a3", 0.56), ("a2", "a3", 0.57))
+    val r = ClusterMerge.merge(a, p)
+    assert(r.counters("merge_cluster_pairs_qualified") == 3L)
+    assert(r.counters("merge_components") == 1L)
+    val got = r.assignments.as[(String, String)].collect().toMap
+    assert(got == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1"))
+    assert(r.counters("merge_pairs_promoted") == 3L)
+    r.release()
+  }
+
+  test("a lone junk edge between two corroborated pairs does not bridge them (witness safety)") {
+    // {A,B} and {X,Y} are each real 2-edge splits; one junk band edge A-X.
+    // A and X both have high band degree, but the (A,X) pair itself has one
+    // edge and NO common neighbor — it must not qualify.
+    val a = assign(("a1", "a1"), ("a2", "a1"), ("b1", "b1"), ("b2", "b1"),
+      ("x1", "x1"), ("x2", "x1"), ("y1", "y1"), ("y2", "y1"))
+    val p = pairs(
+      ("a1", "a2", 0.9), ("b1", "b2", 0.9), ("x1", "x2", 0.9), ("y1", "y2", 0.9),
+      ("a1", "b1", 0.57), ("a2", "b2", 0.55), // A<->B corroborated
+      ("x1", "y1", 0.58), ("x2", "y2", 0.56), // X<->Y corroborated
+      ("a1", "x1", 0.59))                     // the junk bridge
+    val r = ClusterMerge.merge(a, p)
+    assert(r.counters("merge_cluster_pairs_qualified") == 2L)
+    assert(r.counters("merge_components") == 2L)
+    val got = r.assignments.as[(String, String)].collect().toMap
+    assert(got("a1") == "a1" && got("b2") == "a1")
+    assert(got("x1") == "x1" && got("y2") == "x1")
+    assert(got("a1") != got("x1"), "the junk bridge must not merge the two entities")
+    r.release()
+  }
+
   test("maxPromotePerPair caps promotions at the top scores; the rest are counted") {
     val a = assign(("a1", "a1"), ("a2", "a1"), ("a3", "a1"),
       ("b1", "b1"), ("b2", "b1"), ("b3", "b1"))

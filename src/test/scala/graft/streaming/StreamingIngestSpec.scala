@@ -213,7 +213,7 @@ class StreamingIngestSpec extends SparkSpec {
     val out0 = StreamingIngest.ingestBatch(spark, Seq(z("z0", "rook"), z("z1", "rat")).toDF(),
       tmp, batchId = 0L, cfg, auditEvery = 2)
     out0 match {
-      case StreamingIngest.Ingested(_, _, _, a) => assert(a == -1L, s"no audit at batch 0: $a")
+      case StreamingIngest.Ingested(_, _, _, a, _) => assert(a == -1L, s"no audit at batch 0: $a")
       case o => fail(s"expected Ingested, got $o")
     }
     val merged = Snapshots.loadCommitted(spark, tmp, "cluster_assignments").get
@@ -225,7 +225,7 @@ class StreamingIngestSpec extends SparkSpec {
     val out1 = StreamingIngest.ingestBatch(spark, Seq(z("z2", "robin")).toDF(),
       tmp, batchId = 1L, cfg, auditEvery = 2)
     out1 match {
-      case StreamingIngest.Ingested(_, _, _, a) =>
+      case StreamingIngest.Ingested(_, _, _, a, _) =>
         assert(a >= 2L, s"cadence audit must cut the parallel bundle, cuts=$a")
       case o => fail(s"expected Ingested, got $o")
     }
@@ -244,5 +244,57 @@ class StreamingIngestSpec extends SparkSpec {
     assert(StreamingIngest.ingestBatch(spark, Seq(z("z3", "wren")).toDF(),
       tmp, batchId = 2L, cfg, auditEvery = 2)
       .isInstanceOf[StreamingIngest.Ingested], "the stream must continue past the audit")
+  }
+
+  test("merge cadence: mergeEvery heals the planted split mid-stream; certificate survives") {
+    import spark.implicits._
+    // same crafted corpus, but at the DEFAULT 0.60 threshold the ~0.57
+    // cross bundle is rejected — the two triangles come out SPLIT, with the
+    // bundle sitting in the [0.50, 0.60) merge band
+    val cfg = EntityResolution.PipelineConfig(scoreThreshold = 0.60)
+    val tmp = Files.createTempDirectory("graft-stream-mergecad").toString
+    val base = EntityResolution.run(spark, plantedMerge.toDF(), cfg,
+      runDir = Some(tmp), runId = "base")
+    // fixture premises, checked loud: every cross pair below threshold,
+    // at least two in the merge band
+    val cross = base.scoredPairs.where(col("doc_id_a").startsWith("x") &&
+      col("doc_id_b").startsWith("y")).select("score").as[Double].collect()
+    assert(cross.forall(_ < 0.60), s"fixture: cross pairs must be rejected: ${cross.toSeq}")
+    assert(cross.count(s => s >= 0.50 && s < 0.60) >= 2,
+      s"fixture: the band must hold a corroborated bundle: ${cross.toSeq}")
+    assert(base.assignments.where(col("doc_id").startsWith("x") ||
+      col("doc_id").startsWith("y")).select("cluster_id").distinct().count() == 2,
+      "fixture: the entity pair must be split at base")
+    base.release()
+    def z(id: String, tail: String) =
+      textDoc(id, s"zebra yak xenon walrus vole umbra tern snail $tail")
+
+    // batch 0 is NOT a cadence point (mergeEvery = 2): split left standing
+    StreamingIngest.ingestBatch(spark, Seq(z("z0", "rook"), z("z1", "rat")).toDF(),
+      tmp, batchId = 0L, cfg, mergeEvery = 2) match {
+      case StreamingIngest.Ingested(_, _, _, _, m) => assert(m == -1L, s"no merge at batch 0: $m")
+      case o => fail(s"expected Ingested, got $o")
+    }
+    // batch 1 IS the cadence point: the merge heals the split and commits
+    // lockstep
+    StreamingIngest.ingestBatch(spark, Seq(z("z2", "robin")).toDF(),
+      tmp, batchId = 1L, cfg, mergeEvery = 2) match {
+      case StreamingIngest.Ingested(_, _, _, _, m) =>
+        assert(m == 2L, s"cadence merge must join the two split clusters, merged=$m")
+      case o => fail(s"expected Ingested, got $o")
+    }
+    val ids = StreamingIngest.Stages.map(s => Snapshots.lastCommitted(tmp, s))
+    assert(ids.distinct.size == 1, s"lockstep after cadence merge: $ids")
+    val after = Snapshots.loadCommitted(spark, tmp, "cluster_assignments").get
+    assert(after.where(col("doc_id").startsWith("x") || col("doc_id").startsWith("y"))
+      .select("cluster_id").distinct().count() == 1, "the entity must be whole after the merge")
+    // crash-replay of the MERGED batch: the latest run_id is
+    // "stream-1-merge" — the certificate must still read batch 1 as done
+    assert(StreamingIngest.ingestBatch(spark, Seq(z("z2", "robin")).toDF(),
+      tmp, batchId = 1L, cfg, mergeEvery = 2) == StreamingIngest.Skipped,
+      "replay of a merged batch must be skipped by the certificate")
+    assert(StreamingIngest.ingestBatch(spark, Seq(z("z3", "wren")).toDF(),
+      tmp, batchId = 2L, cfg, mergeEvery = 2)
+      .isInstanceOf[StreamingIngest.Ingested], "the stream must continue past the merge")
   }
 }
