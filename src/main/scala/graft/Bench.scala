@@ -404,8 +404,23 @@ object Bench {
         val labeledBase = EntityResolution.labeledPairs(rm.blocking, baseGold).cache()
         val audBefore = graft.eval.Eval.pairwiseF1(rm.assignments, labeledBase)
         val audAfter = graft.eval.Eval.pairwiseF1(aud.assignments, labeledBase)
-        labeledBase.unpersist()
         aud.release()
+        // MERGE-AUDIT leg: price the recall-side twin (Main --merge-repair)
+        // against the run the cut audit just committed — the deployment
+        // order a standing service runs (cut first, then merge; the fresh
+        // tombstones veto any re-merge of just-cut boundaries, and the
+        // vetoed_tombstone counter shows that guard firing in the artifact).
+        // On a healthy uniform corpus qualified≈0 is the expected result —
+        // the leg then prices the pure census scan, the recurring cost of
+        // ASKING whether anything split. F1 before == the audit's after
+        // (same committed assignments); after is computed untimed.
+        val t6 = System.nanoTime()
+        val mrg = EntityResolution.mergeRepair(spark, runDirI, runId = "bench-merge")
+        val nMrg = mrg.assignments.count()
+        val tMrg = (System.nanoTime() - t6) / 1e9
+        val mrgAfter = graft.eval.Eval.pairwiseF1(mrg.assignments, labeledBase)
+        labeledBase.unpersist()
+        mrg.release()
         f""","er_increment":{"docs_base":$nBase,"docs_added":$nAdd,"docs_union":$nUnion,""" +
           f""""batch_base_sec":$tBase%.3f,"incr_sec":$tIncr%.3f,"batch_union_sec":$tUnion%.3f,""" +
           f""""incr_speedup_vs_rerun":${tUnion / tIncr}%.3f,""" +
@@ -428,7 +443,24 @@ object Bench {
           f""""precision_before":${audBefore.precision}%.6f,""" +
           f""""precision_after":${audAfter.precision}%.6f,""" +
           f""""recall_before":${audBefore.recall}%.6f,""" +
-          f""""recall_after":${audAfter.recall}%.6f}"""
+          f""""recall_after":${audAfter.recall}%.6f},""" +
+          f""""er_merge":{"docs":$nMrg,"merge_repair_sec":$tMrg%.3f,""" +
+          f""""docs_per_sec":${nMrg / tMrg}%.1f,""" +
+          f""""cluster_pairs_seen":${mrg.counters.getOrElse("merge_cluster_pairs_seen", -1L)},""" +
+          f""""cluster_pairs_qualified":${mrg.counters.getOrElse("merge_cluster_pairs_qualified", -1L)},""" +
+          f""""vetoed_tombstone":${mrg.counters.getOrElse("merge_vetoed_tombstone", -1L)},""" +
+          f""""vetoed_conflict":${mrg.counters.getOrElse("merge_vetoed_conflict", -1L)},""" +
+          f""""below_evidence":${mrg.counters.getOrElse("merge_pairs_below_evidence", -1L)},""" +
+          f""""below_coverage":${mrg.counters.getOrElse("merge_pairs_below_coverage", -1L)},""" +
+          f""""clusters_merged":${mrg.counters.getOrElse("merge_clusters_merged", -1L)},""" +
+          f""""docs_relabeled":${mrg.counters.getOrElse("merge_docs_relabeled", -1L)},""" +
+          f""""pairs_promoted":${mrg.counters.getOrElse("merge_pairs_promoted", -1L)},""" +
+          f""""committed":${mrg.counters.getOrElse("merge_committed", -1L)},""" +
+          f""""f1_before":${audAfter.f1}%.6f,"f1_after":${mrgAfter.f1}%.6f,""" +
+          f""""precision_before":${audAfter.precision}%.6f,""" +
+          f""""precision_after":${mrgAfter.precision}%.6f,""" +
+          f""""recall_before":${audAfter.recall}%.6f,""" +
+          f""""recall_after":${mrgAfter.recall}%.6f}"""
       } finally {
         spark.stop()
         import scala.reflect.io.Directory

@@ -286,12 +286,17 @@ object Main {
       coalesce(sum(when(col("n_drift_edges") > 0L, 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(col("tombstone_veto"), 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(col("conflict_veto"), 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(col("n_band_edges")), lit(0L))
+      coalesce(sum(col("n_band_edges")), lit(0L)),
+      coalesce(sum(when(!col("qualifies") && !col("conflict_veto") && !col("tombstone_veto") &&
+        col("n_band_edges") >= 1L &&
+        col("n_band_edges") + col("n_witnesses") >= mcfg.minEvidence &&
+        col("coverage") < mcfg.minCoverage, 1L).otherwise(0L)), lit(0L))
     ).collect()(0)
     val censusJson =
       s""""cluster_pairs_with_evidence":${c.getLong(0)},"cluster_pairs_qualified":${c.getLong(1)},""" +
       s""""cluster_pairs_drift":${c.getLong(2)},"cluster_pairs_tombstone_vetoed":${c.getLong(3)},""" +
-      s""""cluster_pairs_conflict_vetoed":${c.getLong(4)},"band_edges":${c.getLong(5)}"""
+      s""""cluster_pairs_conflict_vetoed":${c.getLong(4)},"band_edges":${c.getLong(5)},""" +
+      s""""cluster_pairs_below_coverage":${c.getLong(6)}"""
     val repairJson = if (commit) {
       val res = EntityResolution.mergeRepair(spark, dir, mcfg)
       val counters = res.counters.toSeq.sortBy(_._1)

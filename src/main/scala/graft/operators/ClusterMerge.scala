@@ -18,8 +18,13 @@ import org.apache.spark.storage.StorageLevel
   * checks measured exactly this tail — 19 / 1.2M split entities, attributed
   * to scorer-threshold near-misses, not blocking; BENCH/BASELINE.md). One
   * near-miss is noise; `minEvidence` INDEPENDENT near-misses between the
-  * same two clusters with no tombstone and no hard-conflict veto is an
-  * entity the threshold split.
+  * same two clusters — COVERING at least `minCoverage` of the clusters'
+  * possible cross pairs — with no tombstone and no hard-conflict veto is
+  * an entity the threshold split. (Multiplicity alone is not enough: the
+  * gold-labeled census at 571k docs showed junk cluster pairs reaching
+  * 2–3 coincidental near-misses through promiscuous hub clusters, but at
+  * ≤ 1/3 of their cross-pair opportunity where every true split covered
+  * all of its opportunity — see `MergeConfig.minCoverage`.)
   *
   * The repair PROMOTES the corroborating edges: their committed score is
   * rewritten to `max(score, promoteScore)` with `promoteScore ≥` the cut
@@ -61,8 +66,10 @@ import org.apache.spark.storage.StorageLevel
   * (`score >= mergeFloor`, plus the rare vetoed rows), joined to the
   * assignments on EACH endpoint (two shuffle joins, O(band + accepted
   * drift) rows — cross-cluster survivors only after the `ca =!= cb`
-  * filter), one aggregation on the canonical cluster pair, and a
-  * broadcast-joined relabel of the few merged clusters. The merge graph
+  * filter), one aggregation on the canonical cluster pair, one map-side-
+  * combined cluster-size count over the assignments (for the coverage
+  * denominator), and a broadcast-joined relabel of the few merged
+  * clusters. The merge graph
   * itself (qualifying cluster pairs) runs through the same
   * [[ConnectedComponents]] loop as the main pipeline — merged components
   * are transitive (A↔B and B↔C evidence merges all three), not pair-local.
@@ -91,6 +98,22 @@ object ClusterMerge {
         * fragment to witness it — counted loudly in
         * `merge_pairs_below_evidence`, never silently dropped. */
       minEvidence: Int = 2,
+      /** minimum BAND COVERAGE: (band + drift edges) / (docs_a · docs_b),
+        * evidence relative to the OPPORTUNITY. A genuine threshold-split
+        * entity has near-misses on most of its possible cross pairs (every
+        * cross pair is a same-entity pair scoring just under threshold);
+        * junk between two distinct-entity clusters shares a couple of
+        * coincidental near-misses out of many possible pairs. Measured on
+        * the 571k-doc skew corpus (tools/MergeCensusProbe): every true
+        * split sat at coverage 1.0 (2 of 2 possible), every junk
+        * cluster pair at ≤ 0.33 (2–3 of 9) — without this dial,
+        * multiplicity alone qualified 19 junk pairs (mostly via a few
+        * promiscuous hub clusters), a committed false-merge regression.
+        * Multiplicity and coverage are complementary: multiplicity kills
+        * singleton junk (coverage 1/1 = 1.0 on one junk edge), coverage
+        * kills hub/big-cluster junk (two 50-doc clusters would need 1,250
+        * junk band edges to reach 0.5). */
+      minCoverage: Double = 0.5,
       /** committed score of promoted pairs: max(score, promoteScore).
         * MUST be ≥ the cut audit's strongScore or the next cut audit
         * would see the promoted bundle as weak and oscillate. */
@@ -110,6 +133,7 @@ object ClusterMerge {
   final case class MergeCensusRow(cluster_a: String, cluster_b: String,
                                   n_band_edges: Long, n_drift_edges: Long,
                                   n_witnesses: Long,
+                                  docs_a: Long, docs_b: Long, coverage: Double,
                                   max_score: Double, avg_score: Double,
                                   tombstone_veto: Boolean, conflict_veto: Boolean,
                                   qualifies: Boolean)
@@ -222,16 +246,28 @@ object ClusterMerge {
         col("l.z") === col("r.z") && col("l.x") < col("r.x"))
       .groupBy(col("l.x").as("cluster_a"), col("r.x").as("cluster_b"))
       .agg(count_distinct(col("l.z")).as("n_witnesses"))
+    // cluster sizes (one map-side-combined count over assignments) make the
+    // evidence RELATIVE: coverage = evidence edges / possible cross pairs.
+    val sizes = assignments.groupBy("cluster_id").agg(count(lit(1)).as("cl_docs"))
     withTs.join(witnesses, Seq("cluster_a", "cluster_b"), "left")
       .withColumn("n_witnesses", coalesce(col("n_witnesses"), lit(0L)))
       .withColumn("max_score", coalesce(col("max_score"), lit(0.0)))
       .withColumn("avg_score", coalesce(col("avg_score"), lit(0.0)))
+      .join(sizes.select(col("cluster_id").as("cluster_a"), col("cl_docs").as("docs_a")),
+        Seq("cluster_a"))
+      .join(sizes.select(col("cluster_id").as("cluster_b"), col("cl_docs").as("docs_b")),
+        Seq("cluster_b"))
+      .withColumn("coverage",
+        (col("n_band_edges") + col("n_drift_edges")).cast("double") /
+          (col("docs_a").cast("double") * col("docs_b").cast("double")))
       .withColumn("qualifies",
         col("n_drift_edges") > 0L ||
           (col("n_band_edges") >= 1L &&
             col("n_band_edges") + col("n_witnesses") >= cfg.minEvidence &&
+            col("coverage") >= cfg.minCoverage &&
             !col("conflict_veto") && !col("tombstone_veto")))
       .select("cluster_a", "cluster_b", "n_band_edges", "n_drift_edges", "n_witnesses",
+        "docs_a", "docs_b", "coverage",
         "max_score", "avg_score", "tombstone_veto", "conflict_veto", "qualifies")
   }
 
@@ -263,7 +299,13 @@ object ClusterMerge {
       coalesce(sum(when(col("conflict_veto") && !col("qualifies"), 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(!col("qualifies") && !col("conflict_veto") && !col("tombstone_veto") &&
         col("n_band_edges") + col("n_witnesses") < cfg.minEvidence, 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(when(col("n_drift_edges") > 0L, col("n_drift_edges")).otherwise(0L)), lit(0L))
+      coalesce(sum(when(col("n_drift_edges") > 0L, col("n_drift_edges")).otherwise(0L)), lit(0L)),
+      // multiplicity met but coverage failed: the junk-hub signal (evidence
+      // not proportional to the clusters' cross-pair opportunity)
+      coalesce(sum(when(!col("qualifies") && !col("conflict_veto") && !col("tombstone_veto") &&
+        col("n_band_edges") >= 1L &&
+        col("n_band_edges") + col("n_witnesses") >= cfg.minEvidence &&
+        col("coverage") < cfg.minCoverage, 1L).otherwise(0L)), lit(0L))
     ).collect()(0)
     val censusCounters = Map(
       "merge_cluster_pairs_seen" -> cRow.getLong(0),
@@ -272,7 +314,8 @@ object ClusterMerge {
       "merge_vetoed_tombstone" -> cRow.getLong(3),
       "merge_vetoed_conflict" -> cRow.getLong(4),
       "merge_pairs_below_evidence" -> cRow.getLong(5),
-      "merge_drift_edges" -> cRow.getLong(6))
+      "merge_drift_edges" -> cRow.getLong(6),
+      "merge_pairs_below_coverage" -> cRow.getLong(7))
 
     if (censusCounters("merge_cluster_pairs_qualified") == 0L) {
       val empty0 = assignments.limit(0)

@@ -32,7 +32,12 @@ import org.apache.spark.sql.SparkSession
   * committed scored_pairs/cluster_assignments snapshots and committing the
   * repair as deltas + standing pair tombstones. Without it, the in-memory
   * audit wall includes re-deriving scoredPairs from the cached blocking
-  * (a cost the committed path never pays).
+  * (a cost the committed path never pays). Commit mode then ALSO runs the
+  * recall-side twin, [[EntityResolution.mergeRepair]], against the run the
+  * cut audit left behind (the standing deployment order) and reports
+  * whether corroborated near-miss evidence heals any of the natural split
+  * tail — with the census counters separating "no split has band
+  * evidence" (a blocking miss, unhealable by rescoring) from "healed".
   */
 object SkewScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -112,12 +117,46 @@ object SkewScaleProbe {
         val commWall = (System.nanoTime() - tc) / 1e9
         val mC = Eval.pairwiseF1(commAssign, labeled)
         commAssign.unpersist()
-        f""","audit_committed":{"wall_sec":$commWall%.1f,""" +
-          f""""bridges_cut":${acRes.counters.getOrElse("audit_bridges_cut", -1L)},""" +
-          f""""docs_reassigned":${acRes.counters.getOrElse("audit_docs_reassigned", -1L)},""" +
-          f""""cut_pairs_removed":${acRes.counters.getOrElse("audit_cut_pairs_removed", 0L)},""" +
-          f""""f1_after":${mC.f1}%.6f,"precision_after":${mC.precision}%.6f,""" +
-          f""""recall_after":${mC.recall}%.6f}"""
+        val auditJson =
+          f""","audit_committed":{"wall_sec":$commWall%.1f,""" +
+            f""""bridges_cut":${acRes.counters.getOrElse("audit_bridges_cut", -1L)},""" +
+            f""""docs_reassigned":${acRes.counters.getOrElse("audit_docs_reassigned", -1L)},""" +
+            f""""cut_pairs_removed":${acRes.counters.getOrElse("audit_cut_pairs_removed", 0L)},""" +
+            f""""f1_after":${mC.f1}%.6f,"precision_after":${mC.precision}%.6f,""" +
+            f""""recall_after":${mC.recall}%.6f}"""
+        // --- merge audit (recall-side twin) over the run the cut audit
+        // just committed: does corroborated near-miss evidence heal any of
+        // the NATURAL split tail at this scale? A split whose fragments
+        // were never scored (blocking miss) has no band evidence and
+        // cannot qualify — the census counters make that distinction
+        // legible either way.
+        val tm = System.nanoTime()
+        val mgRes = EntityResolution.mergeRepair(spark, runDir)
+        val mgAssign = mgRes.assignments.cache()
+        mgAssign.count()
+        val mgWall = (System.nanoTime() - tm) / 1e9
+        val mG = Eval.pairwiseF1(mgAssign, labeled)
+        val joinedM = mgAssign.join(gold, "doc_id").cache()
+        val nSplitM = joinedM.groupBy("entity_id")
+          .agg(countDistinct(col("cluster_id")).as("k")).where(col("k") > 1).count()
+        val nMergeM = joinedM.groupBy("cluster_id")
+          .agg(countDistinct(col("entity_id")).as("k")).where(col("k") > 1).count()
+        joinedM.unpersist(); mgAssign.unpersist()
+        val mc = mgRes.counters
+        auditJson +
+          f""","merge_committed":{"wall_sec":$mgWall%.1f,""" +
+          f""""cluster_pairs_seen":${mc.getOrElse("merge_cluster_pairs_seen", -1L)},""" +
+          f""""cluster_pairs_qualified":${mc.getOrElse("merge_cluster_pairs_qualified", -1L)},""" +
+          f""""vetoed_tombstone":${mc.getOrElse("merge_vetoed_tombstone", -1L)},""" +
+          f""""vetoed_conflict":${mc.getOrElse("merge_vetoed_conflict", -1L)},""" +
+          f""""below_evidence":${mc.getOrElse("merge_pairs_below_evidence", -1L)},""" +
+          f""""below_coverage":${mc.getOrElse("merge_pairs_below_coverage", -1L)},""" +
+          f""""clusters_merged":${mc.getOrElse("merge_clusters_merged", -1L)},""" +
+          f""""docs_relabeled":${mc.getOrElse("merge_docs_relabeled", -1L)},""" +
+          f""""pairs_promoted":${mc.getOrElse("merge_pairs_promoted", -1L)},""" +
+          f""""f1_after":${mG.f1}%.6f,"precision_after":${mG.precision}%.6f,""" +
+          f""""recall_after":${mG.recall}%.6f,""" +
+          f""""entities_split_after":$nSplitM,"clusters_mixed_after":$nMergeM}"""
       } else ""
 
       res.release(keepAssignments = false)

@@ -157,6 +157,44 @@ class ClusterMergeSpec extends SparkSpec {
     r.release()
   }
 
+  test("multiplicity without coverage does not merge (the junk-hub shape from the 571k census)") {
+    // two FULL 3-doc clusters of different entities sharing 2 coincidental
+    // near-misses: multiplicity (2 >= minEvidence) is met, but 2 of 9
+    // possible cross pairs is coverage 0.22 — the exact shape that would
+    // have committed 19 false merges on the skew corpus without the
+    // coverage dial (tools/MergeCensusProbe).
+    val a = assign(("a1", "a1"), ("a2", "a1"), ("a3", "a1"),
+      ("b1", "b1"), ("b2", "b1"), ("b3", "b1"))
+    val p = pairs(("a1", "a2", 0.9), ("a1", "a3", 0.9), ("b1", "b2", 0.9),
+      ("b1", "b3", 0.9), ("a1", "b2", 0.58), ("a3", "b1", 0.55))
+    val r = ClusterMerge.merge(a, p)
+    assert(r.counters("merge_cluster_pairs_qualified") == 0L)
+    assert(r.counters("merge_pairs_below_coverage") == 1L)
+    assert(r.counters("merge_pairs_below_evidence") == 0L)
+    assert(r.assignments.as[(String, String)].collect().toSet ==
+      a.as[(String, String)].collect().toSet)
+    assert(r.promotedPairs.isEmpty)
+    r.release()
+  }
+
+  test("a full near-threshold split of two 3-doc fragments covers its opportunity and merges") {
+    // 3+3 fragments of ONE entity where 5 of the 9 cross pairs land in the
+    // band: coverage 0.56 >= 0.5 and multiplicity 5 >= 2 — qualifies.
+    val a = assign(("a1", "a1"), ("a2", "a1"), ("a3", "a1"),
+      ("b1", "b1"), ("b2", "b1"), ("b3", "b1"))
+    val cross = Seq(("a1", "b1", 0.58), ("a1", "b2", 0.57), ("a2", "b1", 0.55),
+      ("a2", "b3", 0.56), ("a3", "b2", 0.59))
+    val p = pairs(Seq(("a1", "a2", 0.9), ("a1", "a3", 0.9), ("b1", "b2", 0.9),
+      ("b1", "b3", 0.9)) ++ cross: _*)
+    val r = ClusterMerge.merge(a, p)
+    assert(r.counters("merge_cluster_pairs_qualified") == 1L)
+    assert(r.counters("merge_pairs_below_coverage") == 0L)
+    val got = r.assignments.as[(String, String)].collect().toMap
+    assert(got.values.toSet == Set("a1"))
+    assert(r.counters("merge_pairs_promoted") == 5L)
+    r.release()
+  }
+
   test("maxPromotePerPair caps promotions at the top scores; the rest are counted") {
     val a = assign(("a1", "a1"), ("a2", "a1"), ("a3", "a1"),
       ("b1", "b1"), ("b2", "b1"), ("b3", "b1"))
