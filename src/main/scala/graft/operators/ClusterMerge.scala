@@ -104,11 +104,12 @@ object ClusterMerge {
         * cross pair is a same-entity pair scoring just under threshold);
         * junk between two distinct-entity clusters shares a couple of
         * coincidental near-misses out of many possible pairs. Measured on
-        * the 571k-doc skew corpus (tools/MergeCensusProbe): every true
-        * split sat at coverage 1.0 (2 of 2 possible), every junk
-        * cluster pair at ≤ 0.33 (2–3 of 9) — without this dial,
-        * multiplicity alone qualified 19 junk pairs (mostly via a few
-        * promiscuous hub clusters), a committed false-merge regression.
+        * the 571k-doc skew corpus (tools/MergeCensusProbe): every
+        * healable true split sat at coverage 1.0 (2 of 2 possible),
+        * every junk cluster pair at ≤ 0.33 (1–3 of 9+) — without this
+        * dial, multiplicity alone qualified 19–20 junk pairs (first
+        * census / committed-binary re-run; mostly via a few promiscuous
+        * hub clusters), a committed false-merge regression.
         * Multiplicity and coverage are complementary: multiplicity kills
         * singleton junk (coverage 1/1 = 1.0 on one junk edge), coverage
         * kills hub/big-cluster junk (two 50-doc clusters would need 1,250
