@@ -141,6 +141,58 @@ object SkewScaleProbe {
           .agg(countDistinct(col("cluster_id")).as("k")).where(col("k") > 1).count()
         val nMergeM = joinedM.groupBy("cluster_id")
           .agg(countDistinct(col("entity_id")).as("k")).where(col("k") > 1).count()
+        // --- split-tail DIAGNOSIS: classify each surviving split's
+        // cross-cluster gold pairs by how far the pipeline took them.
+        // The census cannot see pairs it was never shown; this can —
+        // against the committed snapshots, O(split docs) rows:
+        //   never_blocked    → no shared block key (a blocking-family gap)
+        //   blocked_unscored → shared a key but no committed score (cap
+        //                      recovery dropped the pair; CC transitivity
+        //                      didn't bridge it either)
+        //   scored_sub_floor → scored below mergeFloor (the scorer itself
+        //                      rejects the pair; unhealable by evidence)
+        //   scored_in_band   → evidence the merge audit SAW but did not
+        //                      qualify (the honest minEvidence/minCoverage
+        //                      residual)
+        // Each bucket names a different fix; without the split a reader
+        // can't tell a blocking miss from a scorer miss.
+        import org.apache.spark.sql.functions.{broadcast, lit, when}
+        val splitEnts = joinedM.groupBy("entity_id")
+          .agg(countDistinct(col("cluster_id")).as("k")).where(col("k") > 1)
+          .select("entity_id")
+        val splitDocs = joinedM.join(broadcast(splitEnts), "entity_id")
+          .select(col("entity_id"), col("doc_id"), col("cluster_id")).cache()
+        val sA = splitDocs.select(col("entity_id"), col("doc_id").as("da"),
+          col("cluster_id").as("ca"))
+        val sB = splitDocs.select(col("entity_id"), col("doc_id").as("db"),
+          col("cluster_id").as("cb"))
+        val splitPairs = sA.join(sB, "entity_id")
+          .where(col("da") < col("db") && col("ca") =!= col("cb"))
+          .select("entity_id", "da", "db").cache()
+        val nSplitPairs = splitPairs.count()
+        val sDocs = splitDocs.select("doc_id").distinct()
+        val bRows = graft.ckpt.Snapshots.loadCommitted(spark, runDir, "blocking").get
+          .join(broadcast(sDocs), "doc_id")
+          .select(col("block_key"), col("doc_id")).cache()
+        val blockedPairs = bRows.as("l").join(bRows.as("r"),
+            col("l.block_key") === col("r.block_key") && col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("da"), col("r.doc_id").as("db")).distinct()
+          .withColumn("blocked", lit(true))
+        val floor = graft.operators.ClusterMerge.MergeConfig().mergeFloor
+        val pairScores = graft.ckpt.Snapshots.loadCommitted(spark, runDir, "scored_pairs").get
+          .select(col("doc_id_a").as("da"), col("doc_id_b").as("db"), col("score"))
+          .join(broadcast(splitPairs.select("da", "db")), Seq("da", "db"))
+        val diag = splitPairs
+          .join(blockedPairs, Seq("da", "db"), "left")
+          .join(pairScores, Seq("da", "db"), "left")
+          .withColumn("bucket",
+            when(col("score").isNotNull && col("score") >= floor, lit("scored_in_band"))
+              .when(col("score").isNotNull, lit("scored_sub_floor"))
+              .when(col("blocked"), lit("blocked_unscored"))
+              .otherwise(lit("never_blocked")))
+          .groupBy("bucket").agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        splitPairs.unpersist(); bRows.unpersist(); splitDocs.unpersist()
         joinedM.unpersist(); mgAssign.unpersist()
         val mc = mgRes.counters
         auditJson +
@@ -156,7 +208,12 @@ object SkewScaleProbe {
           f""""pairs_promoted":${mc.getOrElse("merge_pairs_promoted", -1L)},""" +
           f""""f1_after":${mG.f1}%.6f,"precision_after":${mG.precision}%.6f,""" +
           f""""recall_after":${mG.recall}%.6f,""" +
-          f""""entities_split_after":$nSplitM,"clusters_mixed_after":$nMergeM}"""
+          f""""entities_split_after":$nSplitM,"clusters_mixed_after":$nMergeM},""" +
+          f""""split_tail":{"entities":$nSplitM,"cross_pairs":$nSplitPairs,""" +
+          f""""never_blocked":${diag.getOrElse("never_blocked", 0L)},""" +
+          f""""blocked_unscored":${diag.getOrElse("blocked_unscored", 0L)},""" +
+          f""""scored_sub_floor":${diag.getOrElse("scored_sub_floor", 0L)},""" +
+          f""""scored_in_band":${diag.getOrElse("scored_in_band", 0L)}}"""
       } else ""
 
       res.release(keepAssignments = false)
