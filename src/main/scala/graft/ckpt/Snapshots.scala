@@ -73,7 +73,14 @@ object Snapshots {
     * behavior of both writing into one shared directory with Overwrite.
     */
   private def publish(attempt: String, snapPath: String, runDir: String,
-                      stage: String, snapId: Long): Unit = {
+                      stage: String, snapId: Long, attemptsLeft: Int = 3): Unit = {
+    def loseRace(how: String): Nothing = {
+      deleteRecursively(attempt)
+      throw new ConcurrentCommitException(
+        s"$stage/snapshot=$snapId under $runDir was committed by another writer while " +
+          s"this commit was staging (lost the publish race, $how) — " +
+          "two uncoordinated writers share this run dir; serialize commits per run dir")
+    }
     try Files.move(Paths.get(attempt), Paths.get(snapPath), StandardCopyOption.ATOMIC_MOVE)
     catch {
       // rename(2) onto an existing non-empty dir surfaces as EEXIST/ENOTEMPTY
@@ -81,22 +88,49 @@ object Snapshots {
       // on the JDK path); the target-exists guard keeps genuine IO errors
       // (EXDEV, EACCES, disk full) propagating untouched
       case e: java.nio.file.FileSystemException if Files.exists(Paths.get(snapPath)) =>
-        if (!Files.exists(Paths.get(snapPath, "_COMMITTED"))) {
+        if (attemptsLeft <= 0) loseRace("repeated absorb races, " + e.getClass.getSimpleName)
+        else if (!Files.exists(Paths.get(snapPath, "_COMMITTED"))) {
           // a MARKER-LESS dir at this id is crash garbage (a pre-protocol
           // partial commit, or a dropSnapshot/repair interrupted mid-delete
           // after removing the marker), never a live writer — live writers
           // stage in _attempt_ dirs. Absorb it and publish; without this a
           // stale partial would permanently block the id with a misleading
-          // concurrent-writer error
-          deleteRecursively(snapPath)
-          Files.move(Paths.get(attempt), Paths.get(snapPath), StandardCopyOption.ATOMIC_MOVE)
-        } else {
-          deleteRecursively(attempt)
-          throw new ConcurrentCommitException(
-            s"$stage/snapshot=$snapId under $runDir was committed by another writer while " +
-              s"this commit was staging (lost the publish race, ${e.getClass.getSimpleName}) — " +
-              "two uncoordinated writers share this run dir; serialize commits per run dir")
-        }
+          // concurrent-writer error. The absorb must NOT delete in place: a
+          // RACING same-id writer can absorb the garbage and publish between
+          // this marker check and the delete, and an in-place delete would
+          // then destroy its COMMITTED snapshot with both writers reporting
+          // success. Instead rename(2) moves the dir aside ATOMICALLY —
+          // exactly one mover gains ownership — and the moved dir is
+          // inspected privately: if it turns out to be a snapshot committed
+          // after the marker check, it is moved straight back and this
+          // writer loses normally.
+          val aside = Paths.get(snapPath).getParent.resolve(
+            s"_attempt_absorb_${java.util.UUID.randomUUID().toString.take(12)}")
+          val owned =
+            try { Files.move(Paths.get(snapPath), aside, StandardCopyOption.ATOMIC_MOVE); true }
+            catch { case _: java.nio.file.NoSuchFileException => false } // a racer absorbed first
+          if (owned && Files.exists(aside.resolve("_COMMITTED"))) {
+            try Files.move(aside, Paths.get(snapPath), StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case restoreErr: java.nio.file.FileSystemException =>
+                // a third writer published while we held the aside copy:
+                // two committed snapshots now exist for one id — do NOT
+                // delete either; surface both paths for manual repair
+                deleteRecursively(attempt)
+                throw new IllegalStateException(
+                  s"$stage/snapshot=$snapId under $runDir: a concurrently committed snapshot " +
+                    s"was moved aside during garbage absorption and could not be restored " +
+                    s"(another writer re-published the id) — restore it manually from $aside",
+                  restoreErr)
+            }
+            loseRace("published during garbage absorption")
+          } else {
+            if (owned) deleteRecursively(aside.toString) // privately-owned garbage
+            // retry: if ANOTHER writer claimed the id meanwhile, the retry
+            // loses through the committed-marker branch above
+            publish(attempt, snapPath, runDir, stage, snapId, attemptsLeft - 1)
+          }
+        } else loseRace(e.getClass.getSimpleName)
     }
   }
 

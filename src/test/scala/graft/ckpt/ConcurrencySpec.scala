@@ -78,6 +78,45 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("garbage absorb under a same-id race: exactly one winner, the garbage gone, no data loss") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-absorb").toString
+    Snapshots.commit(spark, Seq(0L).toDF("v"), tmp, "t", "base", Map.empty) // id 0
+    // crash garbage squatting on the NEXT id: a marker-less snapshot dir
+    // (e.g. a pre-protocol partial commit) — both racing writers must
+    // absorb it before publishing. An in-place delete here is the data-loss
+    // bug: writer B's delete can land AFTER writer A absorbed and
+    // published, destroying A's committed snapshot with both reporting
+    // success. The atomic move-aside makes one-winner the only outcome.
+    Seq(13L).toDF("v").write.parquet(s"$tmp/t/snapshot=1/data")
+    assert(Snapshots.snapshots(tmp, "t") == Seq(0L)) // invisible to readers
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    def writer(tag: Long) = pool.submit(new java.util.concurrent.Callable[String] {
+      def call(): String = {
+        start.await()
+        try {
+          Snapshots.commitAt(spark, Seq(tag).toDF("v"), tmp, "t", s"w$tag", Map.empty, 1L)
+          "ok"
+        } catch { case _: Snapshots.ConcurrentCommitException => "lost" }
+      }
+    })
+    val (fa, fb) = (writer(111L), writer(222L))
+    start.countDown()
+    val outcomes = Seq(fa, fb).map(_.get(120, TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+
+    assert(outcomes == Seq("lost", "ok"), s"outcomes=$outcomes")
+    val v = vals(Snapshots.loadSnapshot(spark, tmp, "t", 1L))
+    assert(v == Set(111L) || v == Set(222L), s"snapshot=1 holds $v — garbage or interleaved")
+    assert(Snapshots.snapshots(tmp, "t") == Seq(0L, 1L))
+    // neither the losing attempt nor any absorb-aside dir survives
+    val leftover = scala.util.Using.resource(Files.list(Paths.get(s"$tmp/t")))(
+      _.toArray.toSeq.map(p => Paths.get(p.toString).getFileName.toString))
+    assert(!leftover.exists(_.startsWith("_attempt_")), s"stale dirs left: $leftover")
+  }
+
   test("a crashed writer's staging dir is invisible to readers and swept by cleanAttempts") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-stale").toString
