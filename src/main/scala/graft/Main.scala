@@ -418,7 +418,8 @@ object Main {
           minSideDocs = opts.getOrElse("--audit-min-side", "2").toInt)),
         mergeEvery = opts.getOrElse("--merge-every", "0").toInt,
         merge = Some(graft.operators.ClusterMerge.MergeConfig(
-          mergeFloor = opts.getOrElse("--merge-floor", "0.50").toDouble,
+          mergeFloor = opts.getOrElse("--merge-floor",
+            math.max(0.0, math.min(0.50, scoreThr - 0.10)).toString).toDouble,
           minEvidence = opts.getOrElse("--merge-min-evidence", "2").toInt,
           promoteScore = opts.getOrElse("--merge-promote",
             math.max(0.75, scoreThr + 0.05).toString).toDouble)))
@@ -439,7 +440,11 @@ object Main {
         sys.error("--merge-audit requires --run-dir (the committed run to audit)"))
       val mcfg = graft.operators.ClusterMerge.MergeConfig(
         threshold = scoreThr,
-        mergeFloor = opts.getOrElse("--merge-floor", "0.50").toDouble,
+        // the stock 0.50 floor wherever coherent; narrowed to the stock
+        // band width when a low --threshold forces it (0.50 >= threshold
+        // would otherwise refuse to run)
+        mergeFloor = opts.getOrElse("--merge-floor",
+          math.max(0.0, math.min(0.50, scoreThr - 0.10)).toString).toDouble,
         minEvidence = opts.getOrElse("--merge-min-evidence", "2").toInt,
         promoteScore = opts.getOrElse("--merge-promote",
           math.max(0.75, scoreThr + 0.05).toString).toDouble)

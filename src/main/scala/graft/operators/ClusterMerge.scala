@@ -127,6 +127,20 @@ object ClusterMerge {
         * promoted`). */
       maxPromotePerPair: Int = 8)
 
+  /** Config invariants, factored out so surfaces that DEFER the merge (the
+    * streaming cadence attaches a query that first merges thousands of
+    * batches later) can fail at configuration time instead of mid-stream.
+    */
+  def validate(cfg: MergeConfig): Unit = {
+    require(cfg.mergeFloor < cfg.threshold,
+      s"mergeFloor ${cfg.mergeFloor} must be below threshold ${cfg.threshold}")
+    require(cfg.minEvidence >= 1, "minEvidence must be >= 1")
+    require(cfg.promoteScore >= cfg.threshold,
+      s"promoteScore ${cfg.promoteScore} must be >= threshold ${cfg.threshold}: a promoted " +
+        "pair must be an ACCEPTED edge, or the committed merge carries no accepted evidence " +
+        "and the next recompute over accepted edges silently re-splits it")
+  }
+
   /** One census row per cross-cluster evidence pair (canonical
     * `cluster_a < cluster_b`). `qualifies` = would merge under the config;
     * the veto flags say why not when it wouldn't.
@@ -214,8 +228,18 @@ object ClusterMerge {
   /** Read-only census (one row per cross-cluster evidence pair). */
   def census(assignments: DataFrame, scoredPairs: DataFrame,
              tombstones: Option[DataFrame] = None,
-             cfg: MergeConfig = MergeConfig()): DataFrame = {
-    val ev = crossEvidence(assignments, scoredPairs, cfg)
+             cfg: MergeConfig = MergeConfig()): DataFrame =
+    censusFromEvidence(crossEvidence(assignments, scoredPairs, cfg),
+      assignments, tombstones, cfg)
+
+  /** [[census]] over a precomputed (ideally persisted) [[crossEvidence]]
+    * relation — [[merge]] derives the census AND the promotion candidates
+    * from ONE evidence pass instead of running the two endpoint joins over
+    * the floor-filtered scored set twice per invocation.
+    */
+  private def censusFromEvidence(ev: DataFrame, assignments: DataFrame,
+                                 tombstones: Option[DataFrame],
+                                 cfg: MergeConfig): DataFrame = {
     val inBand = col("score") >= cfg.mergeFloor && col("score") < cfg.threshold &&
       !col("vetoed_ev")
     val isDrift = col("score") >= cfg.threshold && !col("vetoed_ev")
@@ -282,12 +306,14 @@ object ClusterMerge {
   def merge(assignments: DataFrame, scoredPairs: DataFrame,
             tombstones: Option[DataFrame] = None,
             cfg: MergeConfig = MergeConfig()): MergeResult = {
-    require(cfg.mergeFloor < cfg.threshold,
-      s"mergeFloor ${cfg.mergeFloor} must be below threshold ${cfg.threshold}")
-    require(cfg.minEvidence >= 1, "minEvidence must be >= 1")
+    validate(cfg)
     val spark = assignments.sparkSession
 
-    val cen = census(assignments, scoredPairs, tombstones, cfg)
+    // ONE evidence pass (two endpoint joins over the floor-filtered scored
+    // set) feeds both the census aggregation and the promotion candidates
+    val ev = crossEvidence(assignments, scoredPairs, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cen = censusFromEvidence(ev, assignments, tombstones, cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val qual = cen.where(col("qualifies"))
 
@@ -326,7 +352,7 @@ object ClusterMerge {
         censusCounters ++ Map("merge_clusters_merged" -> 0L, "merge_components" -> 0L,
           "merge_docs_relabeled" -> 0L, "merge_pairs_promoted" -> 0L,
           "merge_band_edges_not_promoted" -> 0L),
-        Seq(cen))
+        Seq(cen, ev))
     }
 
     // ---- merge graph: transitive components over qualifying cluster pairs.
@@ -345,15 +371,22 @@ object ClusterMerge {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nMergedClusters = mergeMap.count()
     val nComponents = mergeMap.select("cluster_id_new").distinct().count()
+    // merged components are few under any sane config, but a loose one (or
+    // a large drift state) can qualify arbitrarily many cluster pairs —
+    // gate the driver-collecting broadcasts on the already-known counts
+    // (the same 4M bound as the incremental context and the CC decode
+    // dictionary) instead of OOMing the driver
+    def gatedBc(df: DataFrame, known: Long): DataFrame =
+      if (known <= 4000000L) broadcast(df) else df
 
-    val changed = assignments.join(broadcast(mergeMap), Seq("cluster_id"))
+    val changed = assignments.join(gatedBc(mergeMap, nMergedClusters), Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id_new").as("cluster_id"),
         col("cluster_id").as("cluster_id_old"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nRelabeled = changed.where(col("cluster_id") =!= col("cluster_id_old")).count()
     val changedRows = changed.select(col("doc_id"), col("cluster_id"))
     val changedClusters = changed.select(col("cluster_id_old").as("cluster_id")).distinct()
-    val merged = assignments.join(broadcast(mergeMap.select("cluster_id")),
+    val merged = assignments.join(gatedBc(mergeMap.select("cluster_id"), nMergedClusters),
         Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
       .unionByName(changedRows)
@@ -364,14 +397,15 @@ object ClusterMerge {
     // are excluded defensively even inside a qualifying bundle.
     val bandQual = qual.where(col("n_drift_edges") === 0L)
       .select("cluster_a", "cluster_b")
-    val ev = crossEvidence(assignments, scoredPairs, cfg)
+    val evBand = ev
       .where(col("score") >= cfg.mergeFloor && col("score") < cfg.threshold &&
         !col("vetoed_ev"))
-      .join(broadcast(bandQual), Seq("cluster_a", "cluster_b"), "left_semi")
+      .join(gatedBc(bandQual, censusCounters("merge_cluster_pairs_qualified")),
+        Seq("cluster_a", "cluster_b"), "left_semi")
     val evClean = tombstones match {
-      case Some(ts) => ev.join(ts.select("doc_id_a", "doc_id_b"),
+      case Some(ts) => evBand.join(ts.select("doc_id_a", "doc_id_b"),
         Seq("doc_id_a", "doc_id_b"), "left_anti")
-      case None => ev
+      case None => evBand
     }
     val ranked = evClean.withColumn("rk",
       row_number().over(Window.partitionBy("cluster_a", "cluster_b")
@@ -396,6 +430,6 @@ object ClusterMerge {
       "merge_pairs_promoted" -> nPromoted,
       "merge_band_edges_not_promoted" -> nNotPromoted)
     MergeResult(merged, changedRows, changedClusters, promoted, ledger, counters,
-      Seq(cen, mergeMap, changed, ranked, ledger), cc.checkpointIds)
+      Seq(cen, ev, mergeMap, changed, ranked, ledger), cc.checkpointIds)
   }
 }

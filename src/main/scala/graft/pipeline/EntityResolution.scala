@@ -219,9 +219,15 @@ object EntityResolution {
       val edges = scored
         .where(col("score") >= cfg.scoreThreshold)
         .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-      // node universe from the tokenized cache when it exists (no extra
-      // source scan); resumed runs fall back to the raw docs projection
-      val allIds = tokedRef.map(_.select(col("doc_id"))).getOrElse(docs.select(col("doc_id")))
+      // node universe WITHOUT a second source scan: the live tokenized
+      // cache in uncheckpointed runs; the just-committed doc_features
+      // parquet in runDir runs (the cache is already dropped there — the
+      // aux stage holds exactly one row per doc); the raw docs projection
+      // only as the last resort (resumed pre-incremental-stage histories)
+      val allIds = tokedRef.map(_.select(col("doc_id")))
+        .orElse(runDir.flatMap(dir => Snapshots.loadCommitted(spark, dir, StageDocFeatures))
+          .map(_.select(col("doc_id"))))
+        .getOrElse(docs.select(col("doc_id")))
       // pairsPreDeduped: candidatePairs groupBys on (doc_id_a, doc_id_b),
       // so each unordered pair reaches scoring exactly once — CC can skip
       // its initial edge-dedup shuffle
@@ -355,7 +361,36 @@ object EntityResolution {
     * [[releasePins]] before the verb returns — same LogicalRDD-id tracking
     * as the CC loop); and coarse per-phase stderr ticks.
     */
+  /** The six core stages move in LOCKSTEP: every completed verb — the batch
+    * run, both increments, removal, upsert halves, and the audits (via
+    * their no-op deltas) — commits each exactly once, so unequal
+    * last-committed ids mean some verb crashed mid-commit-sequence. The
+    * non-self-recovering verbs refuse such a history loudly instead of
+    * silently operating on drift: a crashed mergeRepair, for example,
+    * leaves accepted cross-cluster pairs (scored_pairs ahead of
+    * cluster_assignments) that would otherwise relabel a removal's
+    * survivors into a cluster id whose own doc was never moved, and a
+    * crashed mergeRepair with a committed scored_pairs delta but no
+    * promotions ledger would slip past exact mode's promotion guard.
+    * Recovery: re-run the interrupted audit verb (auditRepair/mergeRepair
+    * converge to their end state via dedup-append + the drift rule) or
+    * [[graft.streaming.StreamingIngest.repair]] to trim an interrupted
+    * increment back to the common floor.
+    */
+  private def requireStagesLockstep(runDir: String, verb: String): Unit = {
+    val stages = Seq("blocking", StageBlockHot, StageMediaDf, StageDocFeatures,
+      "scored_pairs", "cluster_assignments")
+    val ids = stages.flatMap(s => Snapshots.lastCommitted(runDir, s).map(s -> _))
+    require(ids.map(_._2).distinct.size <= 1,
+      s"$verb: stages are at unequal snapshot ids " +
+        s"(${ids.map { case (s, id) => s"$s=$id" }.mkString(", ")}) — a verb was " +
+        "interrupted mid-commit-sequence and this history is in a drift state. Re-run the " +
+        "interrupted audit verb (auditRepair/mergeRepair recover their own crashes) or run " +
+        "StreamingIngest.repair(runDir) to trim the stages that ran ahead, then retry")
+  }
+
   private final class IncrContext(spark: SparkSession, runDir: String, verb: String) {
+    def requireLockstep(): Unit = requireStagesLockstep(runDir, verb)
     def loadStage(stage: String): DataFrame =
       Snapshots.loadCommitted(spark, runDir, stage).getOrElse(sys.error(
         s"$verb: no committed '$stage' snapshot under $runDir — the base must be a " +
@@ -385,6 +420,7 @@ object EntityResolution {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ctx = new IncrContext(spark, runDir, "addDocuments")
     import ctx.{loadStage, gated, pin, tick}
+    ctx.requireLockstep()
     // exact mode requires an exact-history base: insert-mode increments
     // deliberately do not maintain the batch hot-key recovery structure
     // (frozen committed rows + splice chains instead), so extending such a
@@ -634,8 +670,16 @@ object EntityResolution {
     *  - blocking: new docs' keys split on committed hot membership. Keys
     *    NOT committed-hot route through the batch cap logic over the NEW
     *    rows alone ([[Blocking.routeKeyed]] — a brand-new flood key still
-    *    gets refined/chained; a committed-small key passes raw, deferring
-    *    merge-growth capping to compaction). Keys that ARE committed-hot
+    *    gets refined/chained; a committed-small key whose merged membership
+    *    grows past the cap only gradually passes raw, deferring
+    *    merge-growth capping to compaction). A committed-small key this ONE
+    *    batch floods past the cap is the exception: it splices like a
+    *    committed-hot key, to a representative chosen from its COMMITTED
+    *    members (routing it through routeKeyed would refine/chain the new
+    *    rows among themselves, never meeting the committed members' raw
+    *    rows — a silent disconnect; and block_hot would then record a
+    *    new-docs-only membership that mis-routes every later increment).
+    *    Keys that ARE committed-hot
     *    emit [[Blocking.hotInsertRows]] (deterministic sub-keys + splice
     *    chain). The union is an APPEND-ONLY delta snapshot.
     *  - pairs: only blocks a delta row touches can create a pair involving
@@ -656,6 +700,7 @@ object EntityResolution {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ctx = new IncrContext(spark, runDir, "addDocuments/ins")
     import ctx.{loadStage, gated, pin, tick}
+    ctx.requireLockstep()
     val oldBlocking = loadStage("blocking")
     val oldScored = loadStage("scored_pairs")
     val oldAssign = loadStage("cluster_assignments")
@@ -679,8 +724,35 @@ object EntityResolution {
     val inHot = pin(newKeyed.join(hotKeysB, "block_key")
       .select(col("block_key"), col("doc_id"), col("refine0"), col("refine1")))
     val nInHot = inHot.count()
-    val notHot = newKeyed.join(hotKeysB, Seq("block_key"), "left_anti")
-    val route = Blocking.routeKeyed(notHot, cfg.maxBlockSize, withHotRows = true)
+    val notHot = pin(newKeyed.join(hotKeysB, Seq("block_key"), "left_anti"))
+    // COMMITTED-SMALL keys this one batch floods past the cap (arrival
+    // bursts of one entity): routeKeyed over the new rows alone would cap
+    // them into refinement/chain keys that never meet the committed members
+    // — the committed rows at the key are RAW, not refined, so no candidate
+    // pair between an arrival and a committed member would ever derive, and
+    // the new-docs-only membership written to block_hot would make every
+    // LATER increment splice to a flood-doc representative, permanently
+    // disconnecting the original members. Treat them exactly like
+    // committed-hot keys: splice-chain to the key's committed representative
+    // (min committed doc_id) — the key IS hot now; its members just predate
+    // that. The committed membership probe is one pruned raw-key scan
+    // gated on floodKeys being non-empty, so the common flood-free
+    // increment pays only the tiny per-key count below.
+    val floodKeys = pin(notHot.groupBy("block_key")
+      .agg(count(lit(1)).as("n_new"))
+      .where(col("n_new") > cfg.maxBlockSize).select("block_key"))
+    val hasFloods = floodKeys.count() > 0
+    val committedAtFlood = pin(
+      if (!hasFloods) oldBlocking.select(col("block_key"), col("doc_id")).limit(0)
+      else oldBlocking.where(Blocking.isRawKey(col("block_key")))
+        .join(gated(floodKeys), "block_key")
+        .select(col("block_key"), col("doc_id")))
+    val spliceKeysB = gated(pin(committedAtFlood.select("block_key").distinct()))
+    val inSmallFlood = pin(notHot.join(spliceKeysB, "block_key")
+      .select(col("block_key"), col("doc_id"), col("refine0"), col("refine1")))
+    val nSmallFlood = inSmallFlood.count()
+    val route = Blocking.routeKeyed(notHot.join(spliceKeysB, Seq("block_key"), "left_anti"),
+      cfg.maxBlockSize, withHotRows = true)
     val routeRows = pin(route.rows)
     route.rows.unpersist()
     val routeHot = pin(route.hotRows.get)
@@ -688,33 +760,45 @@ object EntityResolution {
     val touchedHot = pin(inHot.select("block_key").distinct())
     val reps = oldHot.join(gated(touchedHot), "block_key")
       .groupBy("block_key").agg(min(col("doc_id")).as("rep"))
+      .unionByName(committedAtFlood.groupBy("block_key").agg(min(col("doc_id")).as("rep")))
     // the chain salt must be UNIQUE per increment: n_docs is non-monotonic
     // once removals exist (a same-sized upsert reuses it, colliding this
     // increment's chain keys with a committed increment's); the blocking
     // stage's next snapshot id strictly increases with every commit
     val chainSalt = Snapshots.lastCommitted(runDir, "blocking").getOrElse(-1L) + 1L
-    val hotRows = pin(Blocking.hotInsertRows(inHot, reps, chainSalt, cfg.maxBlockSize))
+    val hotRows = pin(Blocking.hotInsertRows(inHot.unionByName(inSmallFlood), reps, chainSalt,
+      cfg.maxBlockSize))
     val deltaRows = pin(routeRows.unionByName(hotRows))
     val deltaCount = deltaRows.count()
+    val nFloodKeys = committedAtFlood.select("block_key").distinct().count()
+    val nFloodCommittedRows = committedAtFlood.count()
     val baseBlockC = Snapshots.lastCounters(runDir, "blocking")
     def baseC(k: String): Long = baseBlockC.getOrElse(k, 0L)
     val blockCounters = Map(
       "blocking_rows" -> (baseC("blocking_rows") + deltaCount),
-      "capped_block_keys" -> (baseC("capped_block_keys") + route.counters("capped_block_keys")),
-      "capped_doc_rows" -> (baseC("capped_doc_rows") + route.counters("capped_doc_rows") + nInHot),
+      "capped_block_keys" ->
+        (baseC("capped_block_keys") + route.counters("capped_block_keys") + nFloodKeys),
+      "capped_doc_rows" -> (baseC("capped_doc_rows") + route.counters("capped_doc_rows")
+        + nInHot + nSmallFlood + nFloodCommittedRows),
       "refined_subblocks_kept" ->
         (baseC("refined_subblocks_kept") + route.counters("refined_subblocks_kept")),
-      "insert_hot_rows" -> nInHot) ++
+      "insert_hot_rows" -> (nInHot + nSmallFlood)) ++
       // history markers survive across modes: a removal anywhere in the
       // history must keep refusing exact increments even after inserts
       baseBlockC.get("removed_docs").map("removed_docs" -> _)
     val baseBlockRows = Snapshots.lastRows(runDir, "blocking").getOrElse(baseC("blocking_rows"))
     Snapshots.commitDelta(spark, deltaRows, None, runDir, "blocking", runId,
       blockCounters, baseBlockRows + deltaCount)
+    // block_hot stays the full raw membership of every hot key: a
+    // newly-flooded committed-small key contributes BOTH its new rows and
+    // its committed raw members, so the next increment's representative
+    // (min doc_id over block_hot) can be a committed doc
     val hotAdds = routeHot.select(col("block_key"), col("doc_id"))
       .unionByName(inHot.select(col("block_key"), col("doc_id")))
+      .unionByName(inSmallFlood.select(col("block_key"), col("doc_id")))
+      .unionByName(committedAtFlood.select(col("block_key"), col("doc_id")))
     val baseHotRows = Snapshots.lastCounters(runDir, StageBlockHot).getOrElse("hot_rows", 0L)
-    val hotAddsN = route.counters("capped_doc_rows") + nInHot
+    val hotAddsN = route.counters("capped_doc_rows") + nInHot + nSmallFlood + nFloodCommittedRows
     Snapshots.commitDelta(spark, hotAdds, None, runDir, StageBlockHot, runId,
       Map("hot_rows" -> (baseHotRows + hotAddsN)), baseHotRows + hotAddsN)
     val blocking = loadStage("blocking")
@@ -862,6 +946,7 @@ object EntityResolution {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ctx = new IncrContext(spark, runDir, "removeDocuments")
     import ctx.{loadStage, gated, pin, tick}
+    ctx.requireLockstep()
     val oldBlocking = loadStage("blocking")
     // scored_pairs is this operation's dominant relation and feeds ~6
     // actions below (retraction, lost-edge derivation, heal anti-join,
@@ -1383,13 +1468,17 @@ object EntityResolution {
     * idf weights and hot-key structure from current data (the semantic
     * compaction, see [[addDocuments]]).
     */
-  def compactRun(spark: SparkSession, runDir: String, runId: String = "compact"): Unit =
+  def compactRun(spark: SparkSession, runDir: String, runId: String = "compact"): Unit = {
+    // compacting a drift state would bake the drift into the new full
+    // snapshots and destroy the trim-based recovery path
+    requireStagesLockstep(runDir, "compactRun")
     (Seq("blocking", "scored_pairs", "cluster_assignments",
       StageBlockHot, StageDocFeatures, StageMediaDf) ++
       // tombstones/promotions exist only on audited histories
       Snapshots.lastCommitted(runDir, StageAuditTombstones).map(_ => StageAuditTombstones) ++
       Snapshots.lastCommitted(runDir, StageMergePromotions).map(_ => StageMergePromotions))
       .foreach(stage => Snapshots.compact(spark, runDir, stage, runId))
+  }
 
   /** DESTRUCTIVE: retire old snapshots of every stage, keeping the newest
     * `keepLast` per stage (plus any base a retained delta chain needs — see

@@ -51,6 +51,43 @@ object StreamingIngest {
 
   private def batchRunId(batchId: Long): String = s"stream-$batchId"
 
+  /** Effective cut-audit config at a cadence point: caller guards ride
+    * through; the edge-acceptance threshold ALWAYS follows the pipeline's
+    * (an audit reading different evidence than CC accepted would cut
+    * against phantom structure).
+    */
+  private[streaming] def effectiveAudit(cfg: PipelineConfig,
+      audit: Option[graft.operators.ClusterAudit.AuditConfig]):
+      graft.operators.ClusterAudit.AuditConfig =
+    audit.getOrElse(graft.operators.ClusterAudit.AuditConfig())
+      .copy(threshold = cfg.scoreThreshold)
+
+  /** Effective merge-audit config at a cadence point. An EXPLICIT config
+    * keeps the caller's dials (threshold still follows the pipeline's);
+    * the DEFAULT config derives its band RELATIVE to the pipeline
+    * threshold — the stock MergeConfig is tuned around threshold 0.60, and
+    * copying only the threshold over it would crash the stream at the
+    * first cadence point for scoreThreshold <= mergeFloor (0.50), silently
+    * shrink the near-miss band for thresholds just above it, and leave
+    * promoteScore below an over-0.75 threshold (an unaccepted "promotion").
+    * The derived default keeps the stock band width and floors promoteScore
+    * at the threshold. Validated eagerly by [[start]].
+    */
+  private[streaming] def effectiveMerge(cfg: PipelineConfig,
+      merge: Option[graft.operators.ClusterMerge.MergeConfig]):
+      graft.operators.ClusterMerge.MergeConfig = merge match {
+    case Some(m) => m.copy(threshold = cfg.scoreThreshold)
+    case None =>
+      val d = graft.operators.ClusterMerge.MergeConfig()
+      d.copy(threshold = cfg.scoreThreshold,
+        // the stock floor wherever it stays coherent (it was tuned against
+        // the junk band, not the threshold); narrowed to the stock band
+        // width only when the threshold forces it
+        mergeFloor = math.max(0.0, math.min(d.mergeFloor,
+          cfg.scoreThreshold - (d.threshold - d.mergeFloor))),
+        promoteScore = math.max(d.promoteScore, cfg.scoreThreshold))
+  }
+
   sealed trait BatchOutcome
   /** The increment ran and committed (docs added, fresh pairs scored).
     * `auditCuts` is -1 when this batch was not an audit-cadence point,
@@ -114,11 +151,7 @@ object StreamingIngest {
     // chain, and compaction then collapses audit deltas with the batch's
     val auditCuts =
       if (auditEvery > 0 && (batchId + 1) % auditEvery == 0) {
-        // caller-tuned guards ride through; the edge-acceptance threshold
-        // ALWAYS follows the pipeline's (an audit reading different
-        // evidence than CC accepted would cut against phantom structure)
-        val acfg = audit.getOrElse(graft.operators.ClusterAudit.AuditConfig())
-          .copy(threshold = cfg.scoreThreshold)
+        val acfg = effectiveAudit(cfg, audit)
         // incremental: scoped to clusters touched since the last audit's
         // watermark (the first cadence point has no watermark and runs
         // full), so the audit's cost follows the arrival rate, not the
@@ -138,8 +171,7 @@ object StreamingIngest {
     // tombstones veto same-batch re-merges.
     val mergeClusters =
       if (mergeEvery > 0 && (batchId + 1) % mergeEvery == 0) {
-        val mcfg = merge.getOrElse(graft.operators.ClusterMerge.MergeConfig())
-          .copy(threshold = cfg.scoreThreshold)
+        val mcfg = effectiveMerge(cfg, merge)
         val m = EntityResolution.mergeRepair(spark, runDir, mcfg,
           runId = s"$runId-merge")
         m.counters.getOrElse("merge_clusters_merged", 0L)
@@ -165,7 +197,23 @@ object StreamingIngest {
             auditEvery: Int = 0,
             audit: Option[graft.operators.ClusterAudit.AuditConfig] = None,
             mergeEvery: Int = 0,
-            merge: Option[graft.operators.ClusterMerge.MergeConfig] = None): StreamingQuery =
+            merge: Option[graft.operators.ClusterMerge.MergeConfig] = None): StreamingQuery = {
+    // cadence configs fail at ATTACH time, not at the first cadence point
+    // thousands of committed batches into the stream: the effective merge
+    // band must be coherent with the pipeline threshold, and when BOTH
+    // repair cadences are on, promoted bundles must read as strong to the
+    // cut audit (promoteScore >= strongScore) or the two verbs oscillate
+    if (mergeEvery > 0) {
+      val m = effectiveMerge(cfg, merge)
+      graft.operators.ClusterMerge.validate(m)
+      if (auditEvery > 0) {
+        val a = effectiveAudit(cfg, audit)
+        require(m.promoteScore >= a.strongScore,
+          s"merge promoteScore ${m.promoteScore} must be >= the cut audit's strongScore " +
+            s"${a.strongScore}: a promoted bundle the cut audit reads as weak re-cuts next " +
+            "cadence and the two repairs oscillate")
+      }
+    }
     stream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointLocation.getOrElse(s"$runDir/_stream_checkpoint"))
@@ -183,6 +231,7 @@ object StreamingIngest {
         }
       }
       .start()
+  }
 
   /** Repair an increment interrupted mid-commit: trim every stage back to
     * the LAST snapshot id ALL stages reached (committed snapshot dirs are

@@ -154,6 +154,16 @@ class ClusterAuditSpec extends SparkSpec {
       Snapshots.lastRows(dir, "scored_pairs").get - 1L)
     Snapshots.commit(spark, tomb, dir, EntityResolution.StageAuditTombstones, "t",
       Map("tombstoned_pairs" -> 1L))
+    // the real verb also commits LOCKSTEP no-op deltas on the untouched
+    // stages (cluster_assignments last) — without them the simulated
+    // history is a drift state the increment verbs now refuse loudly
+    Seq("blocking", EntityResolution.StageBlockHot, EntityResolution.StageMediaDf,
+        EntityResolution.StageDocFeatures, "cluster_assignments").foreach { s =>
+      Snapshots.commitDelta(spark,
+        Snapshots.loadCommitted(spark, dir, s).get.limit(0).repartition(1), None,
+        dir, s, "t", Snapshots.lastCounters(dir, s),
+        Snapshots.lastRows(dir, s).getOrElse(0L))
+    }
     // INSERT: a revised entity-0 doc under a NEW id touches entity 0's
     // blocks, putting (a,b) in the increment's touched-pair universe — the
     // tombstone must keep it out of the re-derived fresh pairs

@@ -43,6 +43,16 @@ class ChainHealSpec extends SparkSpec {
     assert(pathStrong == 3, s"path pairs must be strong (got $pathStrong of 3)")
     Snapshots.commit(spark, thinned, tmp, "scored_pairs", "thin",
       Snapshots.lastCounters(tmp, "scored_pairs"))
+    // keep the simulated history in LOCKSTEP (no-op deltas on the other
+    // stages, as every real verb commits) — removeDocuments now refuses
+    // drift-state histories
+    Seq("blocking", EntityResolution.StageBlockHot, EntityResolution.StageMediaDf,
+        EntityResolution.StageDocFeatures, "cluster_assignments").foreach { s =>
+      Snapshots.commitDelta(spark,
+        Snapshots.loadCommitted(spark, tmp, s).get.limit(0).repartition(1), None,
+        tmp, s, "thin", Snapshots.lastCounters(tmp, s),
+        Snapshots.lastRows(tmp, s).getOrElse(0L))
+    }
 
     val res = EntityResolution.removeDocuments(spark, Seq(r1, r2).toDF("doc_id"), tmp,
       runId = "rm-chain")

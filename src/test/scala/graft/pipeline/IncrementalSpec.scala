@@ -258,6 +258,90 @@ class IncrementalSpec extends SparkSpec {
     bg.unpersist(); planted.unpersist()
   }
 
+  test("insert mode: a committed-SMALL key flooded by one arrival batch splices to the committed members") {
+    import spark.implicits._
+    // base: 40 docs of a planted entity — every key it emits is SMALL
+    // (under the 64 cap) and passes raw. One arrival batch then brings 105
+    // more docs of the SAME entity, pushing its keys past the cap inside a
+    // single increment. Routing those keys over the new rows alone would
+    // refine/chain the arrivals among themselves and never derive a single
+    // arrival↔committed candidate (the committed rows at the key are raw,
+    // not refined) — the entity would silently split, and block_hot would
+    // record a new-docs-only membership that mis-routes every later
+    // increment. The fix splices the flood to a COMMITTED representative.
+    val bgCfg = GenConfig(numEntities = 80, docsPerEntity = 3, seed = 11L)
+    val plantedCfg = GenConfig(numEntities = 1, docsPerEntity = 150, seed = 778L)
+    val bg = DocGen.docs(spark, bgCfg).toDF().cache()
+    val planted = DocGen.docs(spark, plantedCfg).map(d => d.copy(doc_id = "p" + d.doc_id)).toDF().cache()
+    val first = planted.where(col("doc_id") < "pd000000000040")
+    val flood = planted.where(col("doc_id") >= "pd000000000040" && col("doc_id") < "pd000000000145")
+    val tail = planted.where(col("doc_id") >= "pd000000000145")
+    val goldAll = DocGen.gold(spark, bgCfg).toDF().unionByName(
+      DocGen.gold(spark, plantedCfg)
+        .map(g => g.copy(doc_id = "p" + g.doc_id, entity_id = "p" + g.entity_id)).toDF())
+
+    val tmp = Files.createTempDirectory("graft-ins-flood").toString
+    val base = EntityResolution.run(spark, bg.unionByName(first), runDir = Some(tmp), runId = "base")
+    base.release()
+
+    val inc = EntityResolution.addDocuments(spark, flood, tmp, runId = "flood")
+    assert(inc.counters("insert_hot_rows") >= 105,
+      s"flood rows must take the splice path, not routeKeyed: ${inc.counters("insert_hot_rows")}")
+    val plantedClusters = inc.assignments.where(col("doc_id").startsWith("p"))
+      .select("cluster_id").distinct().count()
+    assert(plantedClusters == 1,
+      s"flooded committed-small entity split into $plantedClusters clusters")
+    assert(Eval.clusterEquality(inc.assignments, goldAll), "insert-mode clusters != gold")
+
+    // block_hot now carries the key's FULL membership (committed + flood):
+    // a later small arrival of the same entity routes committed-hot and
+    // still reaches the whole entity
+    val inc2 = EntityResolution.addDocuments(spark, tail, tmp, runId = "tail")
+    assert(inc2.counters("insert_hot_rows") > 0,
+      "post-flood arrivals must route through the now-hot key")
+    val plantedClusters2 = inc2.assignments.where(col("doc_id").startsWith("p"))
+      .select("cluster_id").distinct().count()
+    assert(plantedClusters2 == 1, s"post-flood arrival split the entity: $plantedClusters2")
+    assert(Eval.clusterEquality(inc2.assignments, goldAll), "post-flood clusters != gold")
+    bg.unpersist(); planted.unpersist()
+  }
+
+  test("incremental verbs refuse a drift-state history (stages at unequal snapshot ids)") {
+    import spark.implicits._
+    // simulate a verb crashed between its scored_pairs commit and the rest
+    // of its commit sequence (the state a crashed mergeRepair/auditRepair/
+    // increment leaves): the non-self-recovering verbs must fail loud
+    // instead of silently operating on the drift
+    val cfgA = GenConfig(numEntities = 40, docsPerEntity = 3, seed = 51L)
+    val cfgB = GenConfig(numEntities = 10, docsPerEntity = 3, seed = 5151L)
+    val docsA = DocGen.docs(spark, cfgA).toDF()
+    val docsB = DocGen.docs(spark, cfgB).map(d => d.copy(doc_id = "n" + d.doc_id)).toDF()
+    val tmp = Files.createTempDirectory("graft-drift").toString
+    EntityResolution.run(spark, docsA, runDir = Some(tmp), runId = "base").release()
+    val scored = Snapshots.loadCommitted(spark, tmp, "scored_pairs").get
+    Snapshots.commitDelta(spark, scored.limit(0).repartition(1), None,
+      tmp, "scored_pairs", "crashed-verb", Map.empty,
+      Snapshots.lastRows(tmp, "scored_pairs").getOrElse(0L))
+
+    val eAdd = intercept[IllegalArgumentException](
+      EntityResolution.addDocuments(spark, docsB, tmp, runId = "i"))
+    assert(eAdd.getMessage.contains("unequal snapshot ids"))
+    val eAddEx = intercept[IllegalArgumentException](
+      EntityResolution.addDocuments(spark, docsB, tmp, runId = "i", exact = true))
+    assert(eAddEx.getMessage.contains("unequal snapshot ids"))
+    val eRm = intercept[IllegalArgumentException](
+      EntityResolution.removeDocuments(spark, docsA.select("doc_id").limit(1), tmp))
+    assert(eRm.getMessage.contains("unequal snapshot ids"))
+    val eCompact = intercept[IllegalArgumentException](
+      EntityResolution.compactRun(spark, tmp))
+    assert(eCompact.getMessage.contains("unequal snapshot ids"))
+
+    // streaming's trim-based repair restores lockstep; the verb then runs
+    graft.streaming.StreamingIngest.repair(tmp)
+    val inc = EntityResolution.addDocuments(spark, docsB, tmp, runId = "i2")
+    assert(inc.counters("insert_mode") == 1L)
+  }
+
   test("compactRun: delta chains materialize bit-identically; further increments rebase on the compacted snapshots") {
     import spark.implicits._
     val cfgA = GenConfig(numEntities = 60, docsPerEntity = 3, seed = 21L)

@@ -30,6 +30,27 @@ class StreamingIngestSpec extends SparkSpec {
       .map(g => g.copy(doc_id = prefix + g.doc_id, entity_id = prefix + g.entity_id)).toDF()
   }
 
+  test("cadence configs: default merge band rides relative to the pipeline threshold; incoherent explicit configs fail loud") {
+    import graft.operators.ClusterMerge
+    import graft.pipeline.EntityResolution.PipelineConfig
+    // a 0.50 pipeline threshold equals the STOCK mergeFloor — copying only
+    // the threshold over the stock config used to crash the stream at its
+    // first merge cadence point (require(mergeFloor < threshold) inside
+    // foreachBatch); the derived default keeps the stock band width instead
+    val low = StreamingIngest.effectiveMerge(PipelineConfig(scoreThreshold = 0.50), None)
+    ClusterMerge.validate(low)
+    assert(low.threshold == 0.50 && math.abs(low.mergeFloor - 0.40) < 1e-9)
+    // an over-0.75 threshold floors promoteScore at the threshold, so the
+    // promotion is still an ACCEPTED edge
+    val high = StreamingIngest.effectiveMerge(PipelineConfig(scoreThreshold = 0.80), None)
+    ClusterMerge.validate(high)
+    assert(high.promoteScore == 0.80)
+    // explicit configs keep the caller's dials and fail loud when incoherent
+    intercept[IllegalArgumentException](ClusterMerge.validate(
+      StreamingIngest.effectiveMerge(PipelineConfig(scoreThreshold = 0.45),
+        Some(ClusterMerge.MergeConfig()))))
+  }
+
   test("micro-batches ingest as increments: gold-exact, snapshot-per-batch, replay skipped") {
     import spark.implicits._
     val cfgA = GenConfig(numEntities = 60, docsPerEntity = 3, seed = 42L)
