@@ -154,22 +154,39 @@ object ClusterAudit {
     val mKV = multiDocMembers(assignments, edges).as[(String, String)].groupByKey(_._1)
     val eKV = edges.as[(String, String, String, Double)].groupByKey(_._1)
     mKV.cogroup(eKV) { (cid, ms, es) =>
-      // over-cap stats stay computable streaming; re-materialize cheaply
-      val msArr = ms.toArray
-      val esArr = es.toArray
-      materialize(msArr.iterator, esArr.iterator, cfg.maxClusterEdges) match {
-        case None =>
-          val scores = esArr.map(_._4)
-          Iterator.single(CohesionRow(cid, msArr.length, esArr.length,
-            scores.min, scores.sum / scores.length, -1.0, -1, -1, -1,
-            connected = true, over_cap = true))
-        case Some((names, earr, sarr)) if earr.nonEmpty =>
-          val s = GraphKernels.clusterStats(names.length, earr, sarr, cfg.strongScore,
-            cfg.minSideDocs)
-          Iterator.single(CohesionRow(cid, s.nDocs, s.nEdges, s.minScore, s.avgScore,
-            s.density, s.nBridges, s.nWeakBridges, s.nWeakBundles, s.connected,
-            over_cap = false))
-        case _ => Iterator.empty
+      // ONE streaming drain of the edge iterator: count/min/sum accumulate
+      // over EVERY edge while at most maxClusterEdges are buffered for the
+      // kernel — an over-cap mega-hub cluster costs a bounded buffer plus
+      // scalars, never an O(edges) materialization on one task (the repair
+      // pass has the same shape via materialize())
+      val nodesB = mutable.ArrayBuffer.empty[String]
+      ms.foreach(m => nodesB += m._2)
+      val edgesB = mutable.ArrayBuffer.empty[(String, String, Double)]
+      var nEdges = 0L
+      var minScore = Double.MaxValue
+      var sumScore = 0.0
+      while (es.hasNext) {
+        val e = es.next()
+        nEdges += 1
+        if (e._4 < minScore) minScore = e._4
+        sumScore += e._4
+        if (edgesB.length < cfg.maxClusterEdges) edgesB += ((e._2, e._3, e._4))
+      }
+      if (nEdges > cfg.maxClusterEdges)
+        Iterator.single(CohesionRow(cid, nodesB.length, nEdges,
+          minScore, sumScore / nEdges, -1.0, -1, -1, -1,
+          connected = true, over_cap = true))
+      else if (nEdges == 0) Iterator.empty
+      else {
+        val names = (nodesB ++ edgesB.flatMap(e => Seq(e._1, e._2))).distinct.sorted.toArray
+        val idx = names.zipWithIndex.toMap
+        val earr = edgesB.map(e => (idx(e._1), idx(e._2))).toArray
+        val sarr = edgesB.map(_._3).toArray
+        val s = GraphKernels.clusterStats(names.length, earr, sarr, cfg.strongScore,
+          cfg.minSideDocs)
+        Iterator.single(CohesionRow(cid, s.nDocs, s.nEdges, s.minScore, s.avgScore,
+          s.density, s.nBridges, s.nWeakBridges, s.nWeakBundles, s.connected,
+          over_cap = false))
       }
     }
   }
