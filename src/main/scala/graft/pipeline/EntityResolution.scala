@@ -384,9 +384,10 @@ object EntityResolution {
     require(ids.map(_._2).distinct.size <= 1,
       s"$verb: stages are at unequal snapshot ids " +
         s"(${ids.map { case (s, id) => s"$s=$id" }.mkString(", ")}) — a verb was " +
-        "interrupted mid-commit-sequence and this history is in a drift state. Re-run the " +
-        "interrupted audit verb (auditRepair/mergeRepair recover their own crashes) or run " +
-        "StreamingIngest.repair(runDir) to trim the stages that ran ahead, then retry")
+        "interrupted mid-commit-sequence and this history is in a drift state. Run " +
+        "StreamingIngest.repair(runDir) to trim the stages that ran ahead, then re-run the " +
+        "interrupted verb (a crashed mergeRepair may instead be re-run directly — its drift " +
+        "rule converges without the trim)")
   }
 
   private final class IncrContext(spark: SparkSession, runDir: String, verb: String) {
@@ -1148,18 +1149,26 @@ object EntityResolution {
     *
     * Crash recovery: commits land scored_pairs → tombstones → no-op stage
     * deltas → cluster_assignments (last, so streaming's run_id certificate
-    * stays sound). A crash mid-sequence leaves stages at unequal ids —
-    * [[graft.streaming.StreamingIngest.ingestBatch]] fails loud and its
-    * `repair` trims back to the common floor; the tombstone stage (not an
-    * increment stage) may retain the cut records, which is safe: re-running
-    * the audit re-cuts, and the tombstone commit dedups against the
-    * standing records so the stage's rows/counters stay exact.
+    * stays sound). A crash mid-sequence leaves stages at unequal ids, and
+    * THIS verb — unlike [[mergeRepair]], whose drift rule converges on its
+    * own crashed state — cannot finish from its intermediate state: once
+    * the scored_pairs retraction is committed without the relabel, the cut
+    * cluster's accepted-edge graph is DISCONNECTED and a re-run would hit
+    * the audit's report-never-repair branch and silently commit nothing.
+    * So the verb REFUSES a drift-state history at entry (same guard as the
+    * increments). Recovery: [[graft.streaming.StreamingIngest.repair]]
+    * trims back to the common floor (undoing the partial retraction), then
+    * re-run — the tombstone stage (not an increment stage, never trimmed)
+    * may retain the crashed attempt's cut records, which is safe: the
+    * re-run re-cuts, and the tombstone commit dedups against the standing
+    * records so the stage's rows/counters stay exact.
     */
   def auditRepair(spark: SparkSession, runDir: String,
                   audit: ClusterAudit.AuditConfig = ClusterAudit.AuditConfig(),
                   runId: String = "audit", incremental: Boolean = false): Result = {
     val ctx = new IncrContext(spark, runDir, "auditRepair")
     import ctx.{loadStage, pin, tick}
+    ctx.requireLockstep()
     val oldScored = loadStage("scored_pairs")
     val oldAssign = loadStage("cluster_assignments")
     val (scopedAssign, scopeCounters) =

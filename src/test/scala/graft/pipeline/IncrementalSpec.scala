@@ -335,9 +335,18 @@ class IncrementalSpec extends SparkSpec {
     val eCompact = intercept[IllegalArgumentException](
       EntityResolution.compactRun(spark, tmp))
     assert(eCompact.getMessage.contains("unequal snapshot ids"))
+    // the cut audit refuses too: its own crashed state (retraction
+    // committed, relabel not) leaves the cut cluster DISCONNECTED, and a
+    // re-run would hit the report-never-repair branch and silently no-op —
+    // unlike mergeRepair, whose drift rule converges, it must fail loud
+    val eAudit = intercept[IllegalArgumentException](
+      EntityResolution.auditRepair(spark, tmp, runId = "a"))
+    assert(eAudit.getMessage.contains("unequal snapshot ids"))
 
-    // streaming's trim-based repair restores lockstep; the verb then runs
+    // streaming's trim-based repair restores lockstep; the verbs then run
     graft.streaming.StreamingIngest.repair(tmp)
+    val audited = EntityResolution.auditRepair(spark, tmp, runId = "a2")
+    assert(audited.counters("audit_committed") == 0L) // clean clusters: no cuts
     val inc = EntityResolution.addDocuments(spark, docsB, tmp, runId = "i2")
     assert(inc.counters("insert_mode") == 1L)
   }
