@@ -177,7 +177,11 @@ object Eval {
   /** Exact cluster-membership equality: the partition induced by
     * `assignments` equals the partition induced by gold entity ids.
     * Checked by comparing canonicalized cluster signatures (min doc_id of
-    * the gold entity vs predicted cluster_id per doc).
+    * the gold entity vs predicted cluster_id per doc) over the FULL outer
+    * doc universe — a doc present on only one side is an inequality, and
+    * the row-count check catches a duplicated assignment row whose copies
+    * agree (the old inner-join shape silently ignored both: an assignments
+    * relation that DROPPED half its docs could still read "equal").
     */
   def clusterEquality(assignments: DataFrame, gold: DataFrame): Boolean = {
     val goldCanon = gold
@@ -185,9 +189,11 @@ object Eval {
       .agg(min(col("doc_id")).as("gold_cluster_id"))
       .join(gold, "entity_id")
       .select(col("doc_id"), col("gold_cluster_id"))
-    assignments.join(goldCanon, "doc_id")
-      .where(col("cluster_id") =!= col("gold_cluster_id"))
-      .isEmpty
+    assignments.join(goldCanon, Seq("doc_id"), "full")
+      .where(col("cluster_id").isNull || col("gold_cluster_id").isNull ||
+        col("cluster_id") =!= col("gold_cluster_id"))
+      .isEmpty &&
+      assignments.count() == gold.count()
   }
 
   /** Per-row span-sequence invariant (input_hint): the (kind, text,

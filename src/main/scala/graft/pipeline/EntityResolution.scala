@@ -390,6 +390,16 @@ object EntityResolution {
         "rule converges without the trim)")
   }
 
+  /** Broadcast a standing-ledger stage's relation only while its committed
+    * row count stays dimension-sized — the same 4M bound as every
+    * count-gated broadcast, read FREE from the stage's manifest instead of
+    * paying a count() job (the ledgers grow monotonically over a
+    * deployment's lifetime; an unconditional broadcast would eventually
+    * OOM the driver on a pathological history).
+    */
+  private def gatedLedger(runDir: String, stage: String, df: DataFrame): DataFrame =
+    if (Snapshots.lastRows(runDir, stage).getOrElse(0L) <= 4000000L) broadcast(df) else df
+
   private final class IncrContext(spark: SparkSession, runDir: String, verb: String) {
     def requireLockstep(): Unit = requireStagesLockstep(runDir, verb)
     def loadStage(stage: String): DataFrame =
@@ -816,7 +826,8 @@ object EntityResolution {
     // audit tombstones: a pair auditRepair cut must not be re-derived as
     // "fresh" just because this increment touched its block
     val fresh = pin(Snapshots.loadCommitted(spark, runDir, StageAuditTombstones)
-      .fold(fresh0)(ts => fresh0.join(broadcast(ts), Seq("doc_id_a", "doc_id_b"), "left_anti")))
+      .fold(fresh0)(ts => fresh0.join(gatedLedger(runDir, StageAuditTombstones, ts),
+        Seq("doc_id_a", "doc_id_b"), "left_anti")))
     tick("pairs")
 
     // ---- features: merged document frequencies give EXACT batch idf
@@ -1062,7 +1073,8 @@ object EntityResolution {
       .join(oldScored.select("doc_id_a", "doc_id_b"), Seq("doc_id_a", "doc_id_b"), "left_anti")
       // a pair auditRepair tombstoned must not come back as a heal bridge
       .transform(df => Snapshots.loadCommitted(spark, runDir, StageAuditTombstones)
-        .fold(df)(ts => df.join(broadcast(ts), Seq("doc_id_a", "doc_id_b"), "left_anti")))
+        .fold(df)(ts => df.join(gatedLedger(runDir, StageAuditTombstones, ts),
+          Seq("doc_id_a", "doc_id_b"), "left_anti")))
       .withColumn("block_key",
         Blocking.famTag(Blocking.Family.Heal, xxhash64(col("doc_id_a"), col("doc_id_b")))))
     val w = spark.read.parquet(cDf.path)

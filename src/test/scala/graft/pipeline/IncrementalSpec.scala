@@ -291,7 +291,12 @@ class IncrementalSpec extends SparkSpec {
       .select("cluster_id").distinct().count()
     assert(plantedClusters == 1,
       s"flooded committed-small entity split into $plantedClusters clusters")
-    assert(Eval.clusterEquality(inc.assignments, goldAll), "insert-mode clusters != gold")
+    // gold restricted to the docs ingested SO FAR (the tail batch lands
+    // below) — the equality gate now checks doc universes, not just the
+    // overlap, so comparing against goldAll here would rightly fail
+    val goldPre = goldAll.where(!col("doc_id").startsWith("p") ||
+      col("doc_id") < "pd000000000145")
+    assert(Eval.clusterEquality(inc.assignments, goldPre), "insert-mode clusters != gold")
 
     // block_hot now carries the key's FULL membership (committed + flood):
     // a later small arrival of the same entity routes committed-hot and
