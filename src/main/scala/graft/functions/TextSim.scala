@@ -8,25 +8,42 @@ package graft.functions
   */
 object TextSim {
 
-  /** Classic Levenshtein distance, O(|a|·|b|), two-row DP. */
+  /** Classic Levenshtein distance, O(|a|·|b|) two-row DP — after EXACT
+    * common-prefix/suffix trimming: any optimal edit script maps equal
+    * ends to themselves, so lev(p·x·s, p·y·s) = lev(x, y) (the standard
+    * trimming theorem — a value-preserving fast path, not an
+    * approximation). Near-duplicate pairs (the candidate sets this kernel
+    * scores) share most of their bytes, so the O(L²) DP typically runs
+    * over a few-character middle instead of the full strings; identical
+    * strings never enter the DP at all.
+    */
   def levenshtein(a: String, b: String): Int = {
     if (a.isEmpty) return b.length
     if (b.isEmpty) return a.length
-    var prev = Array.tabulate(b.length + 1)(identity)
-    var curr = new Array[Int](b.length + 1)
+    var lo = 0
+    val loMax = math.min(a.length, b.length)
+    while (lo < loMax && a.charAt(lo) == b.charAt(lo)) lo += 1
+    var ea = a.length; var eb = b.length
+    while (ea > lo && eb > lo && a.charAt(ea - 1) == b.charAt(eb - 1)) { ea -= 1; eb -= 1 }
+    val la = ea - lo; val lb = eb - lo
+    if (la == 0) return lb
+    if (lb == 0) return la
+    var prev = Array.tabulate(lb + 1)(identity)
+    var curr = new Array[Int](lb + 1)
     var i = 1
-    while (i <= a.length) {
+    while (i <= la) {
       curr(0) = i
+      val ac = a.charAt(lo + i - 1)
       var j = 1
-      while (j <= b.length) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+      while (j <= lb) {
+        val cost = if (ac == b.charAt(lo + j - 1)) 0 else 1
         curr(j) = math.min(math.min(curr(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
         j += 1
       }
       val t = prev; prev = curr; curr = t
       i += 1
     }
-    prev(b.length)
+    prev(lb)
   }
 
   /** Levenshtein similarity in [0,1]: 1 - dist / max(len). Both empty => 1. */
@@ -35,23 +52,37 @@ object TextSim {
     if (m == 0) 1.0 else 1.0 - levenshtein(a, b).toDouble / m
   }
 
-  /** Jaro similarity in [0,1] (standard definition). */
+  /** Jaro similarity in [0,1] (standard definition). Two value-preserving
+    * fast paths: equal strings short-circuit to 1.0 (matches = |a|, zero
+    * transpositions ⇒ exactly 1.0), and the match scan starts at the
+    * lowest still-unmatched b index instead of the raw window floor —
+    * every skipped j is already matched and would fail the
+    * `!bMatched(j)` test anyway, so the match set (and hence the value)
+    * is bit-identical while near-identical strings scan O(L) instead of
+    * O(L²/2).
+    */
   def jaro(a: String, b: String): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
     if (a.isEmpty || b.isEmpty) return 0.0
+    if (a == b) return 1.0
     val window = math.max(0, math.max(a.length, b.length) / 2 - 1)
     val aMatched = new Array[Boolean](a.length)
     val bMatched = new Array[Boolean](b.length)
     var matches = 0
+    var firstUnmatched = 0 // all j < firstUnmatched have bMatched(j) = true
     var i = 0
     while (i < a.length) {
-      val lo = math.max(0, i - window)
+      val lo = math.max(firstUnmatched, i - window)
       val hi = math.min(b.length - 1, i + window)
       var j = lo
       var found = false
       while (j <= hi && !found) {
         if (!bMatched(j) && a.charAt(i) == b.charAt(j)) {
           aMatched(i) = true; bMatched(j) = true; matches += 1; found = true
+          if (j == firstUnmatched) {
+            firstUnmatched += 1
+            while (firstUnmatched < b.length && bMatched(firstUnmatched)) firstUnmatched += 1
+          }
         }
         j += 1
       }
@@ -82,23 +113,36 @@ object TextSim {
     */
   def tokenLcs(a: Seq[String], b: Seq[String]): Int = {
     if (a.isEmpty || b.isEmpty) return 0
-    val bArr = b.toArray
-    var prev = new Array[Int](bArr.length + 1)
-    var curr = new Array[Int](bArr.length + 1)
-    val it = a.iterator
-    while (it.hasNext) {
-      val ai = it.next()
+    // exact common-prefix/suffix trimming (LCS(c·x, c·y) = 1 + LCS(x, y)
+    // and its suffix mirror, applied inductively): same value, and the
+    // O(|a|·|b|) DP runs only over the differing middle
+    val aArr = a.toArray[AnyRef]
+    val bArr = b.toArray[AnyRef]
+    var lo = 0
+    val loMax = math.min(aArr.length, bArr.length)
+    while (lo < loMax && aArr(lo) == bArr(lo)) lo += 1
+    var ea = aArr.length; var eb = bArr.length
+    while (ea > lo && eb > lo && aArr(ea - 1) == bArr(eb - 1)) { ea -= 1; eb -= 1 }
+    val trimmed = lo + (aArr.length - ea)
+    val la = ea - lo; val lb = eb - lo
+    if (la == 0 || lb == 0) return trimmed
+    var prev = new Array[Int](lb + 1)
+    var curr = new Array[Int](lb + 1)
+    var i = 0
+    while (i < la) {
+      val ai = aArr(lo + i)
       var j = 1
-      while (j <= bArr.length) {
+      while (j <= lb) {
         curr(j) =
-          if (ai == bArr(j - 1)) prev(j - 1) + 1
+          if (ai == bArr(lo + j - 1)) prev(j - 1) + 1
           else math.max(prev(j), curr(j - 1))
         j += 1
       }
       val t = prev; prev = curr; curr = t
       java.util.Arrays.fill(curr, 0)
+      i += 1
     }
-    prev(bArr.length)
+    trimmed + prev(lb)
   }
 
   /** LCS length over 64-bit token ids — the hot-path twin of tokenLcs:
@@ -110,15 +154,24 @@ object TextSim {
     */
   def tokenLcsLong(a: Array[Long], b: Array[Long]): Int = {
     if (a.length == 0 || b.length == 0) return 0
-    var prev = new Array[Int](b.length + 1)
-    var curr = new Array[Int](b.length + 1)
+    // same exact prefix/suffix trimming as tokenLcs (see there)
+    var lo = 0
+    val loMax = math.min(a.length, b.length)
+    while (lo < loMax && a(lo) == b(lo)) lo += 1
+    var ea = a.length; var eb = b.length
+    while (ea > lo && eb > lo && a(ea - 1) == b(eb - 1)) { ea -= 1; eb -= 1 }
+    val trimmed = lo + (a.length - ea)
+    val la = ea - lo; val lb = eb - lo
+    if (la == 0 || lb == 0) return trimmed
+    var prev = new Array[Int](lb + 1)
+    var curr = new Array[Int](lb + 1)
     var i = 0
-    while (i < a.length) {
-      val ai = a(i)
+    while (i < la) {
+      val ai = a(lo + i)
       var j = 1
-      while (j <= b.length) {
+      while (j <= lb) {
         curr(j) =
-          if (ai == b(j - 1)) prev(j - 1) + 1
+          if (ai == b(lo + j - 1)) prev(j - 1) + 1
           else math.max(prev(j), curr(j - 1))
         j += 1
       }
@@ -126,7 +179,7 @@ object TextSim {
       java.util.Arrays.fill(curr, 0)
       i += 1
     }
-    prev(b.length)
+    trimmed + prev(lb)
   }
 
   /** Jaro-Winkler: boost by shared prefix (<=4 chars), scaling p=0.1.

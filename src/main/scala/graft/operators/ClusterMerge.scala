@@ -125,7 +125,20 @@ object ClusterMerge {
         * without promoting a |A|·|B| band wholesale. The rest stay at
         * their honest below-threshold scores (`merge_band_edges_not_
         * promoted`). */
-      maxPromotePerPair: Int = 8)
+      maxPromotePerPair: Int = 8,
+      /** witness-degree cap: a cluster with more than this many veto-free
+        * band-evidence neighbors is a PROMISCUOUS HUB — its triangle
+        * closures say "this cluster near-misses everything", not "these
+        * two fragments are one entity" — and it is excluded from
+        * WITNESSING (its own direct-edge evidence still counts). This
+        * also bounds the witness self-join, which is quadratic in the
+        * per-cluster band degree (k band neighbors → k² witness rows):
+        * without the cap one adversarial hub cluster can blow the census
+        * up at scale. Capped hubs are counted loudly
+        * (`merge_witness_hubs_capped`). 64 is far above any degree a
+        * genuine threshold-split fragment reaches (measured censuses show
+        * 1–3) while bounding the join at 64² rows per hub. */
+      maxWitnessDegree: Int = 64)
 
   /** Config invariants, factored out so surfaces that DEFER the merge (the
     * streaming cadence attaches a query that first merges thousands of
@@ -261,13 +274,20 @@ object ClusterMerge {
     // computed on the deduplicated cluster-pair graph (tiny: one node per
     // cluster touched by band evidence), not on the edge multiset. Pairs
     // across a vetoed boundary contribute no adjacency: a tombstoned or
-    // conflicted boundary must not witness its neighbours' merges.
+    // conflicted boundary must not witness its neighbours' merges. A
+    // cluster whose band degree exceeds `maxWitnessDegree` is excluded
+    // from the witness role (see MergeConfig.maxWitnessDegree — the
+    // promiscuous-hub guard that also bounds this self-join's k² blowup);
+    // its direct edges still count via n_band_edges.
     val pairGraph = withTs
       .where(col("n_band_edges") >= 1L && !col("conflict_veto") && !col("tombstone_veto"))
       .select("cluster_a", "cluster_b")
     val adj = pairGraph.select(col("cluster_a").as("x"), col("cluster_b").as("z"))
       .unionByName(pairGraph.select(col("cluster_b").as("x"), col("cluster_a").as("z")))
-    val witnesses = adj.as("l").join(adj.as("r"),
+    val okWitness = adj.groupBy(col("z")).agg(count(lit(1)).as("zdeg"))
+      .where(col("zdeg") <= cfg.maxWitnessDegree).select("z")
+    val adjW = adj.join(okWitness, Seq("z"), "left_semi")
+    val witnesses = adjW.as("l").join(adjW.as("r"),
         col("l.z") === col("r.z") && col("l.x") < col("r.x"))
       .groupBy(col("l.x").as("cluster_a"), col("r.x").as("cluster_b"))
       .agg(count_distinct(col("l.z")).as("n_witnesses"))
@@ -302,10 +322,23 @@ object ClusterMerge {
     * the history has any (also applied pair-level to promotion candidates,
     * defensively — a tombstoned pair is never promoted even inside an
     * otherwise-qualifying bundle).
+    *
+    * `scope`: when set (the WATERMARK-scoped cadence path,
+    * [[graft.pipeline.EntityResolution.mergeRepair]] with
+    * `incremental = true`), only census rows with at least one endpoint
+    * cluster in the scope set are judged/merged — the caller guarantees
+    * (a) `scoredPairs` still contains every row adjacent to the scope's
+    * 2-hop evidence neighborhood, so the scoped rows' band counts,
+    * witnesses, and hub degrees are computed over exactly the evidence a
+    * full census would see for them, and (b) every out-of-scope cluster
+    * pair is at its previous merge fixpoint (nothing that feeds its
+    * verdict changed), so dropping it changes nothing. Out-of-scope rows
+    * still CONTRIBUTE adjacency/degree before being dropped.
     */
   def merge(assignments: DataFrame, scoredPairs: DataFrame,
             tombstones: Option[DataFrame] = None,
-            cfg: MergeConfig = MergeConfig()): MergeResult = {
+            cfg: MergeConfig = MergeConfig(),
+            scope: Option[DataFrame] = None): MergeResult = {
     validate(cfg)
     val spark = assignments.sparkSession
 
@@ -313,8 +346,18 @@ object ClusterMerge {
     // set) feeds both the census aggregation and the promotion candidates
     val ev = crossEvidence(assignments, scoredPairs, cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cen = censusFromEvidence(ev, assignments, tombstones, cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cenAll = censusFromEvidence(ev, assignments, tombstones, cfg)
+    val cen = (scope match {
+      case Some(sc) =>
+        val scA = broadcast(sc.select(col("cluster_id").as("cluster_a"))
+          .withColumn("in_a", lit(true)))
+        val scB = broadcast(sc.select(col("cluster_id").as("cluster_b"))
+          .withColumn("in_b", lit(true)))
+        cenAll.join(scA, Seq("cluster_a"), "left").join(scB, Seq("cluster_b"), "left")
+          .where(col("in_a").isNotNull || col("in_b").isNotNull)
+          .drop("in_a", "in_b")
+      case None => cenAll
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val qual = cen.where(col("qualifies"))
 
     // census counters in one aggregation pass
@@ -334,6 +377,14 @@ object ClusterMerge {
         col("n_band_edges") + col("n_witnesses") >= cfg.minEvidence &&
         col("coverage") < cfg.minCoverage, 1L).otherwise(0L)), lit(0L))
     ).collect()(0)
+    // loud hub-cap visibility: clusters whose band degree tripped the
+    // witness exclusion (recomputed from the persisted census — one tiny
+    // aggregation over cluster-pair rows)
+    val nHubsCapped = cen
+      .where(col("n_band_edges") >= 1L && !col("conflict_veto") && !col("tombstone_veto"))
+      .select(explode(array(col("cluster_a"), col("cluster_b"))).as("z"))
+      .groupBy("z").agg(count(lit(1)).as("zdeg"))
+      .where(col("zdeg") > cfg.maxWitnessDegree).count()
     val censusCounters = Map(
       "merge_cluster_pairs_seen" -> cRow.getLong(0),
       "merge_cluster_pairs_qualified" -> cRow.getLong(1),
@@ -342,7 +393,8 @@ object ClusterMerge {
       "merge_vetoed_conflict" -> cRow.getLong(4),
       "merge_pairs_below_evidence" -> cRow.getLong(5),
       "merge_drift_edges" -> cRow.getLong(6),
-      "merge_pairs_below_coverage" -> cRow.getLong(7))
+      "merge_pairs_below_coverage" -> cRow.getLong(7),
+      "merge_witness_hubs_capped" -> nHubsCapped)
 
     if (censusCounters("merge_cluster_pairs_qualified") == 0L) {
       val empty0 = assignments.limit(0)
@@ -359,16 +411,50 @@ object ClusterMerge {
     // Labels are min cluster_id per component; cluster ids are min member
     // doc_ids, so the merged label is the min doc_id of the union — exactly
     // batch semantics over the promoted edge set.
-    val cc = ConnectedComponents.runTracked(spark,
-      qual.select(col("cluster_a").as("src"), col("cluster_b").as("dst")),
-      pairsPreDeduped = true)
-    // merged components are few by construction (each needed a qualifying
-    // evidence bundle); materialize the relabel map driver-free via a
-    // broadcast join below. CC's (doc_id, cluster_id) output here maps an
-    // OLD cluster id to its merged component's min cluster id.
-    val mergeMap = cc.assignments
-      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("cluster_id_new"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    //
+    // The graph is DIMENSION-sized by construction (each pair needed a
+    // corroborated evidence bundle), so up to the standard 4M driver-side
+    // bound — known for FREE from the census counters — it is solved by a
+    // driver union-find: one collect replaces the distributed star loop's
+    // ~15 fixed jobs per invocation, which dominated the verb's wall at
+    // every sandbox scale (round-6 VerbJobsProbe: the merge leg was
+    // job-count-bound, not data-bound). Beyond the bound (a pathological
+    // drift state can qualify arbitrarily many pairs) the exact same
+    // semantics run through the distributed CC loop. Identical labels
+    // either way: min cluster_id per component (ClusterMergeSpec covers
+    // multi-pair transitive components through the union-find path).
+    val nQual = censusCounters("merge_cluster_pairs_qualified")
+    val (mergeMap0, ccCkpts) =
+      if (nQual <= 4000000L) {
+        val pairRows = qual.select(col("cluster_a"), col("cluster_b")).collect()
+        val parent = scala.collection.mutable.Map.empty[String, String]
+        def find(x: String): String = {
+          var r = parent.getOrElse(x, x)
+          while (r != parent.getOrElse(r, r)) r = parent.getOrElse(r, r)
+          // path-compress the walked chain
+          var c = x
+          while (c != r) { val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt }
+          r
+        }
+        pairRows.foreach { row =>
+          val ra = find(row.getString(0)); val rb = find(row.getString(1))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val nodes = pairRows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
+        // roots are ordered by the union rule (smaller absorbs), so the
+        // root IS the component min
+        import spark.implicits._
+        (nodes.toSeq.map(n => (n, find(n))).toDF("cluster_id", "cluster_id_new"),
+          Set.empty[Int])
+      } else {
+        val cc = ConnectedComponents.runTracked(spark,
+          qual.select(col("cluster_a").as("src"), col("cluster_b").as("dst")),
+          pairsPreDeduped = true)
+        (cc.assignments
+          .select(col("doc_id").as("cluster_id"), col("cluster_id").as("cluster_id_new")),
+          cc.checkpointIds)
+      }
+    val mergeMap = mergeMap0.persist(StorageLevel.MEMORY_AND_DISK)
     val nMergedClusters = mergeMap.count()
     val nComponents = mergeMap.select("cluster_id_new").distinct().count()
     // merged components are few under any sane config, but a loose one (or
@@ -430,6 +516,6 @@ object ClusterMerge {
       "merge_pairs_promoted" -> nPromoted,
       "merge_band_edges_not_promoted" -> nNotPromoted)
     MergeResult(merged, changedRows, changedClusters, promoted, ledger, counters,
-      Seq(cen, ev, mergeMap, changed, ranked, ledger), cc.checkpointIds)
+      Seq(cen, ev, mergeMap, changed, ranked, ledger), ccCkpts)
   }
 }

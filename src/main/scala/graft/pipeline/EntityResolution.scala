@@ -1046,11 +1046,23 @@ object EntityResolution {
     // grouping CC runs over the removed subgraph only: O(removed pairs)
     val rmEdges = strong.join(rmA, "doc_id_a").join(rmB2, "doc_id_b")
       .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-    val rmCc = ConnectedComponents.assignAllTracked(spark, removed.select("doc_id"), rmEdges,
-      cfg.maxCcIter, pairsPreDeduped = true)
-    val rmGroups = pin(rmCc.assignments
+    // the removed subgraph is DELTA-sized by contract and both its bounds
+    // are already counted (nRemoved; rmEdges ⊆ rmPairs): under the
+    // standard 4M driver bound the grouping runs as a driver union-find
+    // (identical labels, ~15 fewer fixed jobs); beyond it, the
+    // distributed loop
+    val rmGroupsAssign =
+      if (nRemoved <= 4000000L && nRmPairs <= 4000000L)
+        ConnectedComponents.assignAllDriver(spark, removed.select("doc_id"), rmEdges)
+      else {
+        val rmCc = ConnectedComponents.assignAllTracked(spark, removed.select("doc_id"),
+          rmEdges, cfg.maxCcIter, pairsPreDeduped = true)
+        val a = pin(rmCc.assignments)
+        rmCc.releaseCheckpoints(spark)
+        a
+      }
+    val rmGroups = pin(rmGroupsAssign
       .select(col("doc_id").as("gone"), col("cluster_id").as("grp")))
-    rmCc.releaseCheckpoints(spark)
     val lost = pin(
       strong.join(rmA, "doc_id_a").join(rmB2, Seq("doc_id_b"), "left_anti")
         .select(col("doc_id_a").as("gone"), col("doc_id_b").as("kept"))
@@ -1182,7 +1194,11 @@ object EntityResolution {
     import ctx.{loadStage, pin, tick}
     ctx.requireLockstep()
     val oldScored = loadStage("scored_pairs")
+    // resolved once, scanned three times (census join, member cogroup,
+    // relabel anti-join) — same delta-chain merge-on-read rule as
+    // mergeRepair/removeDocuments
     val oldAssign = loadStage("cluster_assignments")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (scopedAssign, scopeCounters) =
       if (incremental) auditScope(spark, runDir, oldAssign) else (oldAssign, Map.empty[String, Long])
     val r = ClusterAudit.repair(scopedAssign, oldScored, audit)
@@ -1195,6 +1211,7 @@ object EntityResolution {
         .foreach(writeAuditWatermark(runDir, _))
     if (r.counters("audit_clusters_cut") == 0L) {
       r.release()
+      oldAssign.unpersist()
       stampWatermark()
       Result(oldAssign, oldScored, loadStage("blocking"), 0,
         r.counters ++ scopeCounters + ("audit_committed" -> 0L))
@@ -1251,6 +1268,7 @@ object EntityResolution {
         r.counters ++ scopeCounters + ("audit_committed" -> 1L), baseAssignRows)
       tick("commit")
       ctx.releasePins()
+      oldAssign.unpersist()
       stampWatermark()
       Result(loadStage("cluster_assignments"), loadStage("scored_pairs"),
         loadStage("blocking"), 0,
@@ -1300,18 +1318,115 @@ object EntityResolution {
     */
   def mergeRepair(spark: SparkSession, runDir: String,
                   merge: ClusterMerge.MergeConfig = ClusterMerge.MergeConfig(),
-                  runId: String = "merge"): Result = {
+                  runId: String = "merge", incremental: Boolean = false): Result = {
     val ctx = new IncrContext(spark, runDir, "mergeRepair")
     import ctx.{loadStage, pin, tick}
+    // persist the RESOLVED relations once: the census scans assignments
+    // ~6× (two endpoint joins, tombstone joins, sizes, relabel,
+    // anti-join) and scored_pairs twice, and on a delta-chain history
+    // every un-persisted scan re-executes the whole merge-on-read
+    // resolution (anti-join + union per delta) — the same rule
+    // removeDocuments already applies to its dominant relation
     val oldScored = loadStage("scored_pairs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oldAssign = loadStage("cluster_assignments")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tombstones = Snapshots.loadCommitted(spark, runDir, StageAuditTombstones)
-    val r = ClusterMerge.merge(oldAssign, oldScored, tombstones, merge)
+    // pre-commit watermark stamp target (see mergeWatermarkPath scaladoc)
+    val entryAssignId = Snapshots.lastCommitted(runDir, "cluster_assignments")
+    def stampMergeWatermark(): Unit = entryAssignId.foreach(writeMergeWatermark(runDir, _))
+    // ---- incremental scoping: restrict the census to cluster pairs with
+    // at least one endpoint touched since the last merge watermark. The
+    // scan is O(delta adds); the evidence passed to the census is the
+    // touched set's 2-HOP neighborhood (every scored row with an endpoint
+    // doc in a cluster adjacent to a touched cluster), which is exactly
+    // enough for the scoped rows' band counts, triangle-closure witnesses
+    // AND hub degrees to equal the full census's (MergeRepairSpec asserts
+    // scoped == full on a touched subset) — out-of-scope pairs sit at
+    // their previous merge fixpoint and are dropped after contributing
+    // adjacency. The recurring cadence cost therefore follows the
+    // ARRIVAL rate, not the committed scored-pair volume. Falls back
+    // LOUDLY to full (merge_scope_full_fallback) on: no watermark, a
+    // non-compaction full snapshot in range, a drift-state history (a
+    // crashed mergeRepair's clusters never reached the commit log — only
+    // the full pass's drift rule sees them), or a scope too large for the
+    // standard 4M broadcast bound.
+    val (scoredForMerge, scopeOpt, scopeCounters): (DataFrame, Option[DataFrame], Map[String, Long]) =
+      if (!incremental) (oldScored, None, Map.empty[String, Long])
+      else {
+        val stages = Seq("blocking", StageBlockHot, StageMediaDf, StageDocFeatures,
+          "scored_pairs", "cluster_assignments")
+        val ids = stages.flatMap(s => Snapshots.lastCommitted(runDir, s))
+        val inLockstep = ids.distinct.size <= 1
+        val fullFb = (oldScored, None,
+          Map("merge_incremental" -> 1L, "merge_scope_full_fallback" -> 1L))
+        if (!inLockstep) fullFb
+        else mergeScope(spark, runDir) match {
+          case (None, c) => (oldScored, None, Map("merge_incremental" -> 1L) ++ c)
+          case (Some(touched0), c) =>
+            val touched = pin(touched0)
+            val nTouched = touched.count()
+            if (nTouched > 4000000L) fullFb
+            else if (nTouched == 0L) {
+              // idle cadence point: nothing changed since the last merge
+              // audit — commit nothing, stamp, one log scan total
+              ctx.releasePins()
+              oldScored.unpersist(); oldAssign.unpersist()
+              stampMergeWatermark()
+              return Result(oldAssign, oldScored, loadStage("blocking"), 0,
+                Map("merge_incremental" -> 1L, "merge_scope_clusters" -> 0L,
+                  "merge_cluster_pairs_seen" -> 0L, "merge_cluster_pairs_qualified" -> 0L,
+                  "merge_committed" -> 0L) ++ c)
+            } else {
+              val vetoCol =
+                if (oldScored.columns.contains("vetoed")) col("vetoed") else lit(false)
+              val evFloor = oldScored.where(col("score") >= merge.mergeFloor || vetoCol)
+              val touchedDocs = pin(oldAssign.join(broadcast(touched), "cluster_id")
+                .select("doc_id"))
+              val tdA = broadcast(touchedDocs.select(col("doc_id").as("doc_id_a"))
+                .withColumn("fa", lit(true)))
+              val tdB = broadcast(touchedDocs.select(col("doc_id").as("doc_id_b"))
+                .withColumn("fb", lit(true)))
+              val ev1 = evFloor.join(tdA, Seq("doc_id_a"), "left")
+                .join(tdB, Seq("doc_id_b"), "left")
+                .where(col("fa").isNotNull || col("fb").isNotNull).drop("fa", "fb")
+              val aSide = oldAssign.select(col("doc_id").as("doc_id_a"), col("cluster_id").as("ca"))
+              val bSide = oldAssign.select(col("doc_id").as("doc_id_b"), col("cluster_id").as("cb"))
+              val c2 = pin(ev1.join(aSide, "doc_id_a").join(bSide, "doc_id_b")
+                .select(explode(array(col("ca"), col("cb"))).as("cluster_id"))
+                .unionByName(touched).distinct())
+              if (c2.count() > 4000000L) fullFb
+              else {
+                val c2docs = pin(oldAssign.join(broadcast(c2), "cluster_id").select("doc_id"))
+                if (c2docs.count() > 4000000L) fullFb
+                else {
+                  val cdA = broadcast(c2docs.select(col("doc_id").as("doc_id_a"))
+                    .withColumn("ga", lit(true)))
+                  val cdB = broadcast(c2docs.select(col("doc_id").as("doc_id_b"))
+                    .withColumn("gb", lit(true)))
+                  // floor-filtered is sufficient: the merge reads its input
+                  // only through crossEvidence (floor ∪ vetoed) and the
+                  // promotion-ledger semi-join (band rows ⊂ floor)
+                  val scoped = pin(evFloor.join(cdA, Seq("doc_id_a"), "left")
+                    .join(cdB, Seq("doc_id_b"), "left")
+                    .where(col("ga").isNotNull || col("gb").isNotNull).drop("ga", "gb"))
+                  (scoped, Some(touched),
+                    Map("merge_incremental" -> 1L, "merge_scope_clusters" -> nTouched) ++ c)
+                }
+              }
+            }
+        }
+      }
+    val r = ClusterMerge.merge(oldAssign, scoredForMerge, tombstones, merge,
+      scope = scopeOpt)
     tick("merge-audit")
     if (r.counters("merge_cluster_pairs_qualified") == 0L) {
       r.release()
+      ctx.releasePins()
+      oldScored.unpersist(); oldAssign.unpersist()
+      stampMergeWatermark()
       Result(oldAssign, oldScored, loadStage("blocking"), 0,
-        r.counters + ("merge_committed" -> 0L))
+        r.counters ++ scopeCounters + ("merge_committed" -> 0L))
     } else {
       val promoted = pin(r.promotedPairs)
       val ledger = pin(r.promotionLedger)
@@ -1357,9 +1472,12 @@ object EntityResolution {
         r.counters + ("merge_committed" -> 1L), baseAssignRows)
       tick("commit")
       ctx.releasePins()
+      oldScored.unpersist(); oldAssign.unpersist()
+      stampMergeWatermark()
       Result(loadStage("cluster_assignments"), loadStage("scored_pairs"),
         loadStage("blocking"), 0,
-        r.counters ++ Map("merge_committed" -> 1L, "merge_promoted_pairs" -> nPromoted))
+        r.counters ++ scopeCounters ++
+          Map("merge_committed" -> 1L, "merge_promoted_pairs" -> nPromoted))
     }
   }
 
@@ -1442,6 +1560,68 @@ object EntityResolution {
     */
   private[graft] def clearAuditWatermark(runDir: String): Unit =
     java.nio.file.Files.deleteIfExists(auditWatermarkPath(runDir))
+
+  /** Watermark of the last completed MERGE audit — the cluster_assignments
+    * snapshot id as of that audit's ENTRY (deliberately pre-commit, unlike
+    * the cut audit's post-commit stamp: a merge changes cluster
+    * memberships, and the combined cluster's evidence toward third
+    * parties was never judged as a unit — stamping pre-commit keeps the
+    * audit's own relabel delta above the watermark so the next scoped
+    * cadence point re-judges exactly those clusters). Same lifecycle as
+    * `_audit_watermark`: losing it only widens the next scoped audit to a
+    * full pass.
+    */
+  private def mergeWatermarkPath(runDir: String) =
+    java.nio.file.Paths.get(runDir, "_merge_watermark")
+
+  private[graft] def readMergeWatermark(runDir: String): Option[Long] = {
+    val p = mergeWatermarkPath(runDir)
+    if (!java.nio.file.Files.exists(p)) None
+    else "\"merged_through\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p)).map(_.group(1).toLong)
+  }
+
+  private def writeMergeWatermark(runDir: String, id: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(runDir,
+      s"_merge_watermark.tmp${ProcessHandle.current().pid()}")
+    java.nio.file.Files.writeString(tmp, s"""{"merged_through":$id}""")
+    java.nio.file.Files.move(tmp, mergeWatermarkPath(runDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[graft] def clearMergeWatermark(runDir: String): Unit =
+    java.nio.file.Files.deleteIfExists(mergeWatermarkPath(runDir))
+
+  /** Scope of an `incremental = true` [[mergeRepair]]: the distinct
+    * cluster ids touched since the last merge watermark, from the same
+    * O(delta-adds) commit-log scan as [[auditScope]]. `(None, counters)`
+    * = run full (no watermark, or an unaudited non-compaction full
+    * snapshot in range — "touched" is undefined across a batch re-run).
+    */
+  private def mergeScope(spark: SparkSession, runDir: String): (Option[DataFrame], Map[String, Long]) = {
+    val stage = "cluster_assignments"
+    val latest = Snapshots.lastCommitted(runDir, stage).getOrElse(-1L)
+    val fullFallback = (None, Map("merge_scope_full_fallback" -> 1L))
+    readMergeWatermark(runDir).filter(_ <= latest) match {
+      case None => fullFallback
+      case Some(w) =>
+        val range = Snapshots.snapshots(runDir, stage).filter(_ > w)
+        val rerunIds = range.filter(id => !Snapshots.isDelta(runDir, stage, id) &&
+          !Snapshots.counters(runDir, stage, id).contains("compacted_from"))
+        if (rerunIds.nonEmpty) fullFallback
+        else {
+          val deltaIds = range.filter(Snapshots.isDelta(runDir, stage, _))
+          val touched =
+            if (deltaIds.isEmpty)
+              Snapshots.loadCommitted(spark, runDir, stage).get
+                .select(col("cluster_id")).limit(0)
+            else deltaIds.map(id => Snapshots.snapshotAdds(spark, runDir, stage, id)
+              .select(col("cluster_id"))).reduce(_ unionByName _).distinct()
+          (Some(touched), Map("merge_incremental" -> 1L))
+        }
+    }
+  }
 
   /** UPSERT: replace committed documents with new versions (and insert any
     * genuinely new doc_ids in the same call) — the third incremental verb a

@@ -258,6 +258,7 @@ object StreamingIngest {
     // replay re-commits the trimmed ids with different content); dropping
     // it just makes the next incremental audit run full
     EntityResolution.clearAuditWatermark(runDir)
+    EntityResolution.clearMergeWatermark(runDir)
     floor
   }
 }

@@ -35,7 +35,11 @@ object RunJobsProbe {
 
     case class Job(var site: String = "", var start: Long = 0L, var end: Long = 0L,
                    var cpuNs: Long = 0L, var tasks: Long = 0L)
+    case class Stg(var name: String = "", var site: String = "",
+                   var cpuNs: Long = 0L, var tasks: Long = 0L,
+                   var shuffleWriteB: Long = 0L, var shuffleReadB: Long = 0L)
     val jobs = TrieMap.empty[Int, Job]
+    val stages = TrieMap.empty[Int, Stg]
     val stageToJob = TrieMap.empty[Int, Int]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
@@ -49,14 +53,30 @@ object RunJobsProbe {
               .getOrElse("").trim))
           .getOrElse("?")
         j.stageIds.foreach(s => stageToJob(s) = j.jobId)
+        j.stageInfos.foreach { si =>
+          val st = stages.getOrElseUpdate(si.stageId, Stg())
+          st.name = si.name
+          st.site = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("RunJobsProbe"))
+            .getOrElse("").trim
+        }
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         jobs.get(j.jobId).foreach(_.end = j.time)
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         stageToJob.get(t.stageId).flatMap(jobs.get).foreach { job =>
           if (t.taskMetrics != null) job.cpuNs += t.taskMetrics.executorCpuTime
           if (t.taskInfo != null) job.tasks += 1
         }
+        stages.get(t.stageId).foreach { st =>
+          if (t.taskMetrics != null) {
+            st.cpuNs += t.taskMetrics.executorCpuTime
+            st.shuffleWriteB += t.taskMetrics.shuffleWriteMetrics.bytesWritten
+            st.shuffleReadB += t.taskMetrics.shuffleReadMetrics.totalBytesRead
+          }
+          if (t.taskInfo != null) st.tasks += 1
+        }
+      }
     })
 
     val t0 = System.nanoTime()
@@ -69,6 +89,12 @@ object RunJobsProbe {
     jobs.toSeq.sortBy(-_._2.cpuNs).foreach { case (id, j) =>
       println(f"JOB $id%3d wall=${(j.end - j.start) / 1e3}%7.2f s cpu=${j.cpuNs / 1e9}%7.2f s " +
         f"tasks=${j.tasks}%4d  ${j.site}")
+    }
+    println("---- stages by cpu ----")
+    stages.toSeq.sortBy(-_._2.cpuNs).take(40).foreach { case (id, s) =>
+      println(f"STG $id%3d cpu=${s.cpuNs / 1e9}%7.2f s tasks=${s.tasks}%4d " +
+        f"shW=${s.shuffleWriteB / 1e6}%8.1f MB shR=${s.shuffleReadB / 1e6}%8.1f MB  " +
+        f"${s.name}%-28s ${s.site.take(120)}")
     }
     spark.stop()
   }

@@ -136,6 +136,32 @@ class ClusterMergeSpec extends SparkSpec {
     r.release()
   }
 
+  test("witness-degree cap: over-cap hubs stop witnessing, direct evidence survives") {
+    // a 1+1+1 shatter triangle (heals only via witnesses) next to a direct
+    // 2-edge split (heals on its own evidence)
+    val a = assign(("x1", "x1"), ("x2", "x2"), ("h1", "h1"),
+      ("a1", "a1"), ("a2", "a1"), ("b1", "b1"), ("b2", "b1"))
+    val p = pairs(("x1", "x2", 0.55), ("x1", "h1", 0.55), ("x2", "h1", 0.55),
+      ("a1", "a2", 0.9), ("b1", "b2", 0.9), ("a2", "b1", 0.57), ("a1", "b2", 0.54))
+    // default cap (64): nothing trips, triangle closes via witnesses
+    val r0 = ClusterMerge.merge(a, p)
+    assert(r0.counters("merge_witness_hubs_capped") == 0L)
+    assert(r0.counters("merge_cluster_pairs_qualified") == 4L)
+    r0.release()
+    // cap 1: every triangle member has band degree 2 and is excluded from
+    // the witness role — the triangle pairs fall below evidence (their
+    // DIRECT edges still count, just no longer corroborated), the 2-edge
+    // split still merges, and the capped hubs are counted loudly
+    val r1 = ClusterMerge.merge(a, p,
+      cfg = ClusterMerge.MergeConfig(maxWitnessDegree = 1))
+    assert(r1.counters("merge_witness_hubs_capped") == 3L)
+    assert(r1.counters("merge_cluster_pairs_qualified") == 1L)
+    assert(r1.counters("merge_pairs_below_evidence") == 3L)
+    val got = r1.assignments.as[(String, String)].collect().toMap
+    assert(got("b2") == "a1" && got("x1") == "x1" && got("x2") == "x2" && got("h1") == "h1")
+    r1.release()
+  }
+
   test("a lone junk edge between two corroborated pairs does not bridge them (witness safety)") {
     // {A,B} and {X,Y} are each real 2-edge splits; one junk band edge A-X.
     // A and X both have high band degree, but the (A,X) pair itself has one

@@ -88,6 +88,60 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("smallStar single-(u,m)-emission == per-row emission (round-6 fast path)") {
+    // the round-6 smallStar emits (u, m) from the v == m rows only; the
+    // round-5 form emitted it once per input row. The output SET must be
+    // identical — including on inputs with duplicate rows (largeStar's
+    // output, smallStar's actual input, is not deduplicated).
+    import org.apache.spark.sql.functions.{col, greatest, least, min}
+    def smallStarPerRow(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val oriented = edges.select(
+        greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      val withM = oriented.select(col("u"), col("v"), min(col("v")).over(w).as("m"))
+      withM.where(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(withM.select(col("u").as("src"), col("m").as("dst")))
+        .distinct()
+    }
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 5) {
+      val n = 5 + rnd.nextInt(20)
+      val m = 1 + rnd.nextInt(3 * n)
+      // duplicates on purpose: draw WITH replacement, no dedup
+      val edges = (0 until m).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a == b) (a, b + 1) else (a, b)
+      }
+      val df = edges.toDF("src", "dst")
+      val got = ConnectedComponents.smallStar(df).as[(Long, Long)].collect().toSet
+      val want = smallStarPerRow(df).as[(Long, Long)].collect().toSet
+      assert(got == want, s"trial $trial: smallStar set diverged")
+    }
+  }
+
+  test("assignAllDriver (gated union-find) == distributed assignAll") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 5) {
+      val n = 10 + rnd.nextInt(30)
+      val nodes = (0 until n).map(i => f"u$i%03d")
+      val m = rnd.nextInt(2 * n)
+      val edges = (0 until m).map(_ => (nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n))))
+      // foreign endpoints on purpose: docs outside allDocIds participate
+      // in components (and can supply the min) but emit no row
+      val foreign = Seq(("a000", nodes.head), (nodes.last, "zzz9"))
+      val all = nodes.take(n - 2).toDF("doc_id") // some nodes excluded too
+      val edgesDf = (edges ++ foreign).toDF("src", "dst")
+      val dist = ConnectedComponents.assignAllTracked(spark, all, edgesDf)
+      val got = ConnectedComponents.assignAllDriver(spark, all, edgesDf)
+        .as[(String, String)].collect().toMap
+      val want = dist.assignments.as[(String, String)].collect().toMap
+      assert(got == want, s"trial $trial: driver and distributed assignAll diverge")
+      dist.releaseCheckpoints(spark)
+    }
+  }
+
   test("pairsPreDeduped path produces identical assignments") {
     val edges = Seq(("a", "b"), ("b", "c"), ("d", "e"))
     val nodesDf = Seq("a", "b", "c", "d", "e", "f").toDF("doc_id")

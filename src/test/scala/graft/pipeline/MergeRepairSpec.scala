@@ -148,6 +148,89 @@ class MergeRepairSpec extends SparkSpec {
     labeled.unpersist()
   }
 
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    scala.util.Using.resource(java.nio.file.Files.walk(s))(_.forEach { p =>
+      val d = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(d)
+      else java.nio.file.Files.copy(p, d)
+    })
+  }
+
+  test("watermark-scoped mergeRepair == full mergeRepair on a touched subset") {
+    val tmpA = Files.createTempDirectory("graft-merge-scopeA").toString
+    val base = EntityResolution.run(spark, docs, tightPipe, runDir = Some(tmpA), runId = "base")
+    base.release(keepAssignments = true)
+    // first merge audit heals the induced splits and stamps the watermark
+    EntityResolution.mergeRepair(spark, tmpA, tightMerge)
+    // an arrival batch whose entities the tight threshold splits again —
+    // the touched subset the scoped cadence point must judge
+    val addCfg = GenConfig(numEntities = 100, docsPerEntity = 3, seed = 777)
+    val newDocs = DocGen.docs(spark, addCfg)
+      .map(d => d.copy(doc_id = "m" + d.doc_id)).toDF()
+    EntityResolution.addDocuments(spark, newDocs, tmpA, tightPipe, runId = "incr").release()
+    // identical committed history for the full-pass twin (plain file copy)
+    val tmpB = Files.createTempDirectory("graft-merge-scopeB").toString + "/run"
+    copyDir(tmpA, tmpB)
+    val scoped = EntityResolution.mergeRepair(spark, tmpA, tightMerge,
+      runId = "m2", incremental = true)
+    val full = EntityResolution.mergeRepair(spark, tmpB, tightMerge, runId = "m2full")
+    assert(scoped.counters("merge_incremental") == 1L)
+    assert(!scoped.counters.contains("merge_scope_full_fallback"),
+      "scoped pass unexpectedly fell back to full")
+    assert(scoped.counters("merge_scope_clusters") > 0L)
+    assert(full.counters("merge_cluster_pairs_qualified") > 0L,
+      "twin corpus produced no splits — the comparison would be vacuous")
+    assert(scoped.counters("merge_cluster_pairs_qualified") ==
+      full.counters("merge_cluster_pairs_qualified"))
+    assert(scoped.counters("merge_committed") == full.counters("merge_committed"))
+    val a = Snapshots.loadCommitted(spark, tmpA, "cluster_assignments").get
+      .as[(String, String)].collect().toMap
+    val b = Snapshots.loadCommitted(spark, tmpB, "cluster_assignments").get
+      .as[(String, String)].collect().toMap
+    assert(a == b, "scoped and full merge audits committed different clusterings")
+    val sa = Snapshots.loadCommitted(spark, tmpA, "scored_pairs").get
+      .select("doc_id_a", "doc_id_b", "score").as[(String, String, Double)].collect().toSet
+    val sb = Snapshots.loadCommitted(spark, tmpB, "scored_pairs").get
+      .select("doc_id_a", "doc_id_b", "score").as[(String, String, Double)].collect().toSet
+    assert(sa == sb, "scoped and full merge audits committed different scored sets")
+  }
+
+  test("scoped mergeRepair idle cadence: zero touched clusters, zero commits") {
+    val tmp = Files.createTempDirectory("graft-merge-idle").toString
+    val base = EntityResolution.run(spark, docs, tightPipe, runDir = Some(tmp), runId = "base")
+    base.release(keepAssignments = true)
+    EntityResolution.mergeRepair(spark, tmp, tightMerge) // heals + stamps (pre-commit id)
+    // first scoped pass re-judges the just-merged clusters (the merge's own
+    // relabel delta sits above its pre-commit watermark) and finds them at
+    // fixpoint
+    val r1 = EntityResolution.mergeRepair(spark, tmp, tightMerge,
+      runId = "s1", incremental = true)
+    assert(r1.counters("merge_incremental") == 1L)
+    assert(r1.counters("merge_scope_clusters") > 0L)
+    assert(r1.counters("merge_committed") == 0L)
+    val idsBefore = stages(tmp).map(s => Snapshots.lastCommitted(tmp, s))
+    // second scoped pass is the steady-state idle cadence point: nothing
+    // moved since, so the scope is EMPTY and the cost is one log scan
+    val r2 = EntityResolution.mergeRepair(spark, tmp, tightMerge,
+      runId = "s2", incremental = true)
+    assert(r2.counters("merge_scope_clusters") == 0L)
+    assert(r2.counters("merge_committed") == 0L)
+    assert(stages(tmp).map(s => Snapshots.lastCommitted(tmp, s)) == idsBefore,
+      "idle scoped merge must not grow the history")
+  }
+
+  test("scoped mergeRepair without a watermark falls back to full loudly") {
+    val tmp = Files.createTempDirectory("graft-merge-fb").toString
+    val base = EntityResolution.run(spark, docs, tightPipe, runDir = Some(tmp), runId = "base")
+    base.release(keepAssignments = true)
+    val r = EntityResolution.mergeRepair(spark, tmp, tightMerge,
+      runId = "m1", incremental = true)
+    assert(r.counters("merge_scope_full_fallback") == 1L)
+    assert(r.counters("merge_committed") == 1L, "the fallback must still heal")
+    assert(Eval.clusterEquality(r.assignments, gold))
+  }
+
   test("the cut audit on a merged history cuts nothing (promoted bundles are strong)") {
     val tmp = Files.createTempDirectory("graft-merge-audit").toString
     val base = EntityResolution.run(spark, docs, tightPipe, runDir = Some(tmp), runId = "base")
