@@ -284,9 +284,14 @@ object ClusterMerge {
       .select("cluster_a", "cluster_b")
     val adj = pairGraph.select(col("cluster_a").as("x"), col("cluster_b").as("z"))
       .unionByName(pairGraph.select(col("cluster_b").as("x"), col("cluster_a").as("z")))
-    val okWitness = adj.groupBy(col("z")).agg(count(lit(1)).as("zdeg"))
-      .where(col("zdeg") <= cfg.maxWitnessDegree).select("z")
-    val adjW = adj.join(okWitness, Seq("z"), "left_semi")
+    // degree filter as a WINDOW over z (one pass over adj), NOT an
+    // agg+semi-join: a join would reference the adj subtree a second
+    // time, and this whole census subtree is evaluated once per side of
+    // the witness self-join — the extra reference measurably multiplied
+    // the evidence-pass work (round-6 VerbJobsProbe)
+    val wz = Window.partitionBy(col("z"))
+    val adjW = adj.withColumn("zdeg", count(lit(1)).over(wz))
+      .where(col("zdeg") <= cfg.maxWitnessDegree).drop("zdeg")
     val witnesses = adjW.as("l").join(adjW.as("r"),
         col("l.z") === col("r.z") && col("l.x") < col("r.x"))
       .groupBy(col("l.x").as("cluster_a"), col("r.x").as("cluster_b"))

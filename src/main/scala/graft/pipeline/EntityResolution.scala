@@ -728,10 +728,19 @@ object EntityResolution {
       s"addDocuments: $dups new doc_ids already exist in the committed corpus (increments must be disjoint)")
     tick("tokenize+dup")
 
-    // ---- blocking: frozen committed structure, append-only delta
+    // ---- blocking: frozen committed structure, append-only delta.
+    // Broadcast gates in this verb reuse counts the verb already holds
+    // (manifest rows, delta counts) instead of paying one count() job per
+    // gate — the round-6 VerbJobsProbe showed the increment wall is
+    // job-count-bound, not data-bound (same 4M bound everywhere).
     val newKeyed = pin(Blocking.keyedDocs(toked, cfg.numBands, cfg.rowsPerBand, cfg.tokenBands))
     val hotKeys = pin(oldHot.select("block_key").distinct())
-    val hotKeysB = gated(hotKeys)
+    // distinct hot keys ≤ committed block_hot rows, known free from the
+    // manifest
+    val hotKeysB =
+      if (Snapshots.lastRows(runDir, StageBlockHot).getOrElse(Long.MaxValue) <= 4000000L)
+        broadcast(hotKeys)
+      else hotKeys
     val inHot = pin(newKeyed.join(hotKeysB, "block_key")
       .select(col("block_key"), col("doc_id"), col("refine0"), col("refine1")))
     val nInHot = inHot.count()
@@ -752,24 +761,37 @@ object EntityResolution {
     val floodKeys = pin(notHot.groupBy("block_key")
       .agg(count(lit(1)).as("n_new"))
       .where(col("n_new") > cfg.maxBlockSize).select("block_key"))
-    val hasFloods = floodKeys.count() > 0
-    val committedAtFlood = pin(
+    val nFloodKeysNew = floodKeys.count()
+    val hasFloods = nFloodKeysNew > 0
+    // the common flood-free increment provably has EMPTY flood relations —
+    // derive them as lazy limit(0)s and skip their pins/counts/joins
+    // entirely (bit-identical: no flood key ⇒ no committed member at one ⇒
+    // no splice rows), instead of running ~5 jobs over empty inputs
+    val committedAtFlood =
       if (!hasFloods) oldBlocking.select(col("block_key"), col("doc_id")).limit(0)
-      else oldBlocking.where(Blocking.isRawKey(col("block_key")))
-        .join(gated(floodKeys), "block_key")
+      else pin(oldBlocking.where(Blocking.isRawKey(col("block_key")))
+        .join(if (nFloodKeysNew <= 4000000L) broadcast(floodKeys) else floodKeys, "block_key")
         .select(col("block_key"), col("doc_id")))
-    val spliceKeysB = gated(pin(committedAtFlood.select("block_key").distinct()))
-    val inSmallFlood = pin(notHot.join(spliceKeysB, "block_key")
-      .select(col("block_key"), col("doc_id"), col("refine0"), col("refine1")))
-    val nSmallFlood = inSmallFlood.count()
-    val route = Blocking.routeKeyed(notHot.join(spliceKeysB, Seq("block_key"), "left_anti"),
+    val spliceKeysB =
+      if (!hasFloods) committedAtFlood.select("block_key").limit(0)
+      else gated(pin(committedAtFlood.select("block_key").distinct()))
+    val inSmallFlood =
+      if (!hasFloods) notHot.limit(0)
+      else pin(notHot.join(spliceKeysB, "block_key")
+        .select(col("block_key"), col("doc_id"), col("refine0"), col("refine1")))
+    val nSmallFlood = if (!hasFloods) 0L else inSmallFlood.count()
+    val route = Blocking.routeKeyed(
+      if (!hasFloods) notHot
+      else notHot.join(spliceKeysB, Seq("block_key"), "left_anti"),
       cfg.maxBlockSize, withHotRows = true)
     val routeRows = pin(route.rows)
     route.rows.unpersist()
     val routeHot = pin(route.hotRows.get)
     route.hotRows.get.unpersist()
     val touchedHot = pin(inHot.select("block_key").distinct())
-    val reps = oldHot.join(gated(touchedHot), "block_key")
+    // distinct touched hot keys ≤ the already-counted inHot rows
+    val touchedHotB = if (nInHot <= 4000000L) broadcast(touchedHot) else touchedHot
+    val reps = oldHot.join(touchedHotB, "block_key")
       .groupBy("block_key").agg(min(col("doc_id")).as("rep"))
       .unionByName(committedAtFlood.groupBy("block_key").agg(min(col("doc_id")).as("rep")))
     // the chain salt must be UNIQUE per increment: n_docs is non-monotonic
@@ -781,8 +803,9 @@ object EntityResolution {
       cfg.maxBlockSize))
     val deltaRows = pin(routeRows.unionByName(hotRows))
     val deltaCount = deltaRows.count()
-    val nFloodKeys = committedAtFlood.select("block_key").distinct().count()
-    val nFloodCommittedRows = committedAtFlood.count()
+    val nFloodKeys =
+      if (!hasFloods) 0L else committedAtFlood.select("block_key").distinct().count()
+    val nFloodCommittedRows = if (!hasFloods) 0L else committedAtFlood.count()
     val baseBlockC = Snapshots.lastCounters(runDir, "blocking")
     def baseC(k: String): Long = baseBlockC.getOrElse(k, 0L)
     val blockCounters = Map(
@@ -817,7 +840,8 @@ object EntityResolution {
 
     // ---- fresh candidate pairs from the delta's touched blocks only
     val deltaKeys = pin(deltaRows.select("block_key").distinct())
-    val oldAtKeys = oldBlocking.join(gated(deltaKeys), "block_key")
+    val oldAtKeys = oldBlocking.join(
+      if (deltaCount <= 4000000L) broadcast(deltaKeys) else deltaKeys, "block_key")
       .select(col("block_key"), col("doc_id"))
     val cand = Blocking.candidatePairs(
       deltaRows.select(col("block_key"), col("doc_id")).unionByName(oldAtKeys))
@@ -870,11 +894,15 @@ object EntityResolution {
     // assignments plus the new docs
     val freshEdges = pin(scoredFresh.where(col("score") >= cfg.scoreThreshold)
       .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst")))
+    // endpoints ≤ 2·nFresh and active clusters ≤ endpoints — both bounded
+    // by the fresh-pair count the scoring phase already took
+    def freshGate(df: DataFrame): DataFrame =
+      if (nFresh <= 2000000L) broadcast(df) else df
     val endpoints = pin(freshEdges.select(col("src").as("doc_id"))
       .unionByName(freshEdges.select(col("dst").as("doc_id"))).distinct())
-    val activeCl = pin(oldAssign.join(gated(endpoints), "doc_id")
+    val activeCl = pin(oldAssign.join(freshGate(endpoints), "doc_id")
       .select("cluster_id").distinct())
-    val activeClB = gated(activeCl)
+    val activeClB = freshGate(activeCl)
     val activeOld = pin(oldAssign.join(activeClB, "cluster_id"))
     val starActive = activeOld.where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("src"), col("cluster_id").as("dst"))
@@ -972,9 +1000,13 @@ object EntityResolution {
     val nOld = Snapshots.lastCounters(runDir, StageMediaDf).getOrElse("n_docs",
       sys.error(s"removeDocuments: $StageMediaDf manifest lacks the n_docs counter"))
 
+    // count once, gate every derived broadcast on that one number (the
+    // verb was job-count-bound; gated() pays one count job per call)
     val removed = pin(docIds.select(col("doc_id")).distinct())
-    val removedB = gated(removed)
     val nRemoved = removed.count()
+    def rmGate(df: DataFrame): DataFrame =
+      if (nRemoved <= 4000000L) broadcast(df) else df
+    val removedB = rmGate(removed)
     require(nRemoved > 0, "removeDocuments: empty doc_id set")
     val unknown = removed.join(oldFeatures.select("doc_id"), Seq("doc_id"), "left_anti").count()
     require(unknown == 0,
@@ -1030,8 +1062,8 @@ object EntityResolution {
     // ---- scored pairs: retract every pair touching a removed doc; then
     // splice-heal — chain each removed doc's surviving strong neighbors
     // consecutively and re-score those candidates (current corpus weights)
-    val rmA = gated(removed.select(col("doc_id").as("doc_id_a")))
-    val rmB2 = gated(removed.select(col("doc_id").as("doc_id_b")))
+    val rmA = rmGate(removed.select(col("doc_id").as("doc_id_a")))
+    val rmB2 = rmGate(removed.select(col("doc_id").as("doc_id_b")))
     val rmPairs = pin(oldScored.join(rmA, "doc_id_a").select("doc_id_a", "doc_id_b")
       .unionByName(oldScored.join(rmB2, "doc_id_b").select("doc_id_a", "doc_id_b"))
       .dropDuplicates("doc_id_a", "doc_id_b"))
@@ -1071,7 +1103,7 @@ object EntityResolution {
           .select(col("doc_id_b").as("gone"), col("doc_id_a").as("kept")))
       // the same survivor can neighbor several docs of one group — dedup or
       // the window would chain a survivor to itself
-      .join(gated(rmGroups), "gone")
+      .join(rmGate(rmGroups), "gone")
       .select("grp", "kept").dropDuplicates("grp", "kept"))
     // neighbors sorted lexicographically, so consecutive pairs are already
     // canonical (a < b); |N|-1 pairs per removed GROUP reconnect exactly
@@ -1111,7 +1143,7 @@ object EntityResolution {
     // over their SURVIVING strong edges plus the heal edges (no committed
     // star edges — they would preserve connectivity through removed docs)
     val activeCl = pin(oldAssign.join(removedB, "doc_id").select("cluster_id").distinct())
-    val survActive = pin(oldAssign.join(gated(activeCl), "cluster_id")
+    val survActive = pin(oldAssign.join(rmGate(activeCl), "cluster_id")
       .join(removedB, Seq("doc_id"), "left_anti"))
     val sA = gated(survActive.select(col("doc_id").as("doc_id_a")))
     // a committed pair's endpoints share a cluster, so "a surviving-active,
