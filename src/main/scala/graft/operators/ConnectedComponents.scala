@@ -236,9 +236,13 @@ object ConnectedComponents {
       val dictJ = if (nNodes <= BroadcastDictMaxNodes) broadcast(dict) else dict
       val withS = assignL.join(dictJ.select(col("nid").as("docL"), col("node")), "docL")
       // hash order is not string order: one per-component min over the
-      // decoded strings restores cluster_id = min doc_id exactly
-      val mins = withS.groupBy("clusL").agg(min(col("node")).as("cluster_id"))
-      val assign = withS.join(mins, "clusL")
+      // decoded strings restores cluster_id = min doc_id exactly — as a
+      // WINDOW over the component key (one exchange, one pass) instead of
+      // the round-5 agg + join-back, which evaluated the decoded-join
+      // subtree twice and paid a second exchange
+      val wCl = org.apache.spark.sql.expressions.Window.partitionBy(col("clusL"))
+      val assign = withS
+        .withColumn("cluster_id", min(col("node")).over(wCl))
         .select(col("node").as("doc_id"), col("cluster_id"))
       CcResult(assign, iters, loopIds ++ dictIds)
     }

@@ -110,6 +110,28 @@ object EntityResolution {
     }
   }
 
+
+  /** Prefer shuffled-hash over sort-merge joins for the duration of one
+    * pipeline verb (optimization guide §3.1/§9: "allow shuffled hash join
+    * when it fits"): the verbs' equi-joins (block census, feature
+    * attach, candidate self-join, evidence joins) are hash-friendly —
+    * both sides' per-partition builds are bounded — and the sort phases
+    * they replace are exactly the memory-bandwidth cost that inflates at
+    * higher thread counts (measured: −7% wall at BOTH 1 and 4 threads,
+    * with the larger absolute cut on the 4-thread side — stage census in
+    * OPTIMIZATION_r06.md). Planner/size-condition gated: joins whose
+    * build side cannot be bounded stay sort-merge, so this is a
+    * preference, never a correctness or OOM bet. Saved/restored like the
+    * CC loop's conf overrides.
+    */
+  private def beginFastJoins(spark: SparkSession): String = {
+    val prev = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    prev
+  }
+  private def endFastJoins(spark: SparkSession, prev: String): Unit =
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", prev)
+
   /** Run the full pipeline. When `runDir` is given, each stage is committed
     * as a snapshot and `resume=true` skips already-committed stages
     * (byte-identical reuse — the resume gate of FIXTURES.md §6).
@@ -117,6 +139,13 @@ object EntityResolution {
   def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig = PipelineConfig(),
           runDir: Option[String] = None, runId: String = "run0",
           resume: Boolean = false): Result = {
+    val fjPrev = beginFastJoins(spark)
+    try runBody(spark, docs, cfg, runDir, runId, resume)
+    finally endFastJoins(spark, fjPrev)
+  }
+
+  private def runBody(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
+          runDir: Option[String], runId: String, resume: Boolean): Result = {
 
     def staged(stage: String, counters: => Map[String, Long])(compute: => DataFrame): (DataFrame, Map[String, Long]) =
       runDir match {
@@ -291,9 +320,13 @@ object EntityResolution {
     */
   def addDocuments(spark: SparkSession, newDocs: DataFrame, runDir: String,
                    cfg: PipelineConfig = PipelineConfig(), runId: String = "incr",
-                   exact: Boolean = false): Result =
-    if (exact) addDocumentsExact(spark, newDocs, runDir, cfg, runId)
-    else addDocumentsInsert(spark, newDocs, runDir, cfg, runId)
+                   exact: Boolean = false): Result = {
+    val fjPrev = beginFastJoins(spark)
+    try {
+      if (exact) addDocumentsExact(spark, newDocs, runDir, cfg, runId)
+      else addDocumentsInsert(spark, newDocs, runDir, cfg, runId)
+    } finally endFastJoins(spark, fjPrev)
+  }
 
   /** The `exact = true` increment (see [[addDocuments]]).
     *
@@ -983,6 +1016,13 @@ object EntityResolution {
   def removeDocuments(spark: SparkSession, docIds: DataFrame, runDir: String,
                       cfg: PipelineConfig = PipelineConfig(),
                       runId: String = "remove"): Result = {
+    val fjPrev = beginFastJoins(spark)
+    try removeDocumentsBody(spark, docIds, runDir, cfg, runId)
+    finally endFastJoins(spark, fjPrev)
+  }
+
+  private def removeDocumentsBody(spark: SparkSession, docIds: DataFrame, runDir: String,
+                      cfg: PipelineConfig, runId: String): Result = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ctx = new IncrContext(spark, runDir, "removeDocuments")
     import ctx.{loadStage, gated, pin, tick}
@@ -1222,6 +1262,14 @@ object EntityResolution {
   def auditRepair(spark: SparkSession, runDir: String,
                   audit: ClusterAudit.AuditConfig = ClusterAudit.AuditConfig(),
                   runId: String = "audit", incremental: Boolean = false): Result = {
+    val fjPrev = beginFastJoins(spark)
+    try auditRepairBody(spark, runDir, audit, runId, incremental)
+    finally endFastJoins(spark, fjPrev)
+  }
+
+  private def auditRepairBody(spark: SparkSession, runDir: String,
+                  audit: ClusterAudit.AuditConfig,
+                  runId: String, incremental: Boolean): Result = {
     val ctx = new IncrContext(spark, runDir, "auditRepair")
     import ctx.{loadStage, pin, tick}
     ctx.requireLockstep()
@@ -1351,6 +1399,14 @@ object EntityResolution {
   def mergeRepair(spark: SparkSession, runDir: String,
                   merge: ClusterMerge.MergeConfig = ClusterMerge.MergeConfig(),
                   runId: String = "merge", incremental: Boolean = false): Result = {
+    val fjPrev = beginFastJoins(spark)
+    try mergeRepairBody(spark, runDir, merge, runId, incremental)
+    finally endFastJoins(spark, fjPrev)
+  }
+
+  private def mergeRepairBody(spark: SparkSession, runDir: String,
+                  merge: ClusterMerge.MergeConfig,
+                  runId: String, incremental: Boolean): Result = {
     val ctx = new IncrContext(spark, runDir, "mergeRepair")
     import ctx.{loadStage, pin, tick}
     // persist the RESOLVED relations once: the census scans assignments

@@ -24,6 +24,11 @@ object RunJobsProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B toggle for join-strategy experiments (guide §3.1)
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE_SHJ", "0") == "1") {
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      System.err.println("[probe] preferSortMergeJoin=false")
+    }
     import spark.implicits._
 
     val corpusDir = s"/tmp/graft-runjobs-corpus-$entities"
