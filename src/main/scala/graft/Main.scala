@@ -440,9 +440,10 @@ object Main {
         sys.error("--merge-audit requires --run-dir (the committed run to audit)"))
       val mcfg = graft.operators.ClusterMerge.MergeConfig(
         threshold = scoreThr,
-        // the stock 0.50 floor wherever coherent; narrowed to the stock
-        // band width when a low --threshold forces it (0.50 >= threshold
-        // would otherwise refuse to run)
+        // derived default preserves the stock band WIDTH (0.10), not the
+        // stock 0.50 floor: any --threshold below 0.60 slides the whole
+        // band down (see StreamingIngest's mergeFor for the calibration
+        // caveat)
         mergeFloor = opts.getOrElse("--merge-floor",
           math.max(0.0, math.min(0.50, scoreThr - 0.10)).toString).toDouble,
         minEvidence = opts.getOrElse("--merge-min-evidence", "2").toInt,

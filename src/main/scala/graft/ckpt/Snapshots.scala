@@ -131,6 +131,15 @@ object Snapshots {
             publish(attempt, snapPath, runDir, stage, snapId, attemptsLeft - 1)
           }
         } else loseRace(e.getClass.getSimpleName)
+      // snapPath ABSENT at guard time: a racing writer's absorb window — it
+      // moved the target aside between our failed rename and this check
+      // (the id was either freed or is about to be republished). Retrying
+      // resolves both to win or lose-loudly instead of surfacing a spurious
+      // raw IO failure (round-5 advice); genuine IO errors (EACCES, EXDEV,
+      // disk full) still propagate once the retry budget is spent.
+      case _: java.nio.file.FileSystemException
+          if !Files.exists(Paths.get(snapPath)) && attemptsLeft > 0 =>
+        publish(attempt, snapPath, runDir, stage, snapId, attemptsLeft - 1)
     }
   }
 
@@ -139,14 +148,28 @@ object Snapshots {
     * pure disk garbage). Repair's domain: only call when no writer is live
     * on the run dir, since a live writer's staging dir is indistinguishable
     * from a stale one. Returns the deleted paths.
+    *
+    * A directory under the `_attempt_` prefix that CONTAINS a `_COMMITTED`
+    * marker is never garbage: it is a committed snapshot stranded mid
+    * garbage-absorption (a crash between [[publish]]'s move-aside and
+    * restore, or the documented restore-it-manually third-writer path) —
+    * possibly the only copy of that committed data. Those are skipped and
+    * reported loudly instead of deleted (round-5 advice: repair, the very
+    * verb other error messages direct operators to run, must not destroy
+    * what it exists to recover).
     */
   def cleanAttempts(runDir: String, stage: String): Seq[String] = {
     val d = Paths.get(stageDir(runDir, stage))
     if (!Files.isDirectory(d)) return Seq.empty
     val attempts = scala.util.Using.resource(Files.list(d))(_.toArray.toSeq.map(_.toString))
       .filter(p => Paths.get(p).getFileName.toString.startsWith("_attempt_"))
-    attempts.foreach(deleteRecursively)
-    attempts
+    val (strandedCommitted, garbage) =
+      attempts.partition(p => Files.exists(Paths.get(p, "_COMMITTED")))
+    strandedCommitted.foreach(p => System.err.println(
+      s"[cleanAttempts] REFUSING to delete $p: it holds a _COMMITTED snapshot stranded " +
+        "by an interrupted garbage absorption — restore it manually to its snapshot=<id> name"))
+    garbage.foreach(deleteRecursively)
+    garbage
   }
 
   /** All COMMITTED snapshot ids of a stage, ascending — the time-ordered

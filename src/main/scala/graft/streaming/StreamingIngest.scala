@@ -80,9 +80,14 @@ object StreamingIngest {
     case None =>
       val d = graft.operators.ClusterMerge.MergeConfig()
       d.copy(threshold = cfg.scoreThreshold,
-        // the stock floor wherever it stays coherent (it was tuned against
-        // the junk band, not the threshold); narrowed to the stock band
-        // width only when the threshold forces it
+        // derived default preserves the stock band WIDTH (threshold −
+        // floor = 0.10), NOT the stock 0.50 floor: any threshold below
+        // the stock 0.60 slides the whole band down (thr 0.55 → floor
+        // 0.45), widening toward the ~0.35 junk band the minCoverage
+        // dial was calibrated against — recalibrate minCoverage if you
+        // deploy thresholds below stock (round-5 advice: the earlier
+        // comment claimed the floor was kept wherever coherent, which
+        // this formula does not do)
         mergeFloor = math.max(0.0, math.min(d.mergeFloor,
           cfg.scoreThreshold - (d.threshold - d.mergeFloor))),
         promoteScore = math.max(d.promoteScore, cfg.scoreThreshold))

@@ -140,4 +140,23 @@ class ConcurrencySpec extends SparkSpec {
     // committed state untouched by the sweep
     assert(vals(Snapshots.loadCommitted(spark, tmp, "t").get) == Set(7L))
   }
+
+  test("cleanAttempts refuses a stranded COMMITTED snapshot (interrupted absorb)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stranded").toString
+    Snapshots.commit(spark, Seq(7L).toDF("v"), tmp, "t", "r0", Map("n" -> 1L))
+    // a crash between publish's move-aside and restore leaves the COMMITTED
+    // snapshot under an _attempt_absorb_* name — possibly the only copy
+    val aside = Paths.get(s"$tmp/t/_attempt_absorb_cafe")
+    Seq(9L).toDF("v").write.parquet(s"$aside/data")
+    Files.writeString(aside.resolve("_COMMITTED"), "ok")
+    // and genuine staging garbage next to it
+    val garbage = Paths.get(s"$tmp/t/_attempt_feed")
+    Seq(5L).toDF("v").write.parquet(s"$garbage/data")
+    val swept = Snapshots.cleanAttempts(tmp, "t")
+    assert(swept.size == 1 && swept.head.contains("_attempt_feed"))
+    assert(!Files.exists(garbage))
+    assert(Files.exists(aside.resolve("_COMMITTED")),
+      "the stranded committed snapshot must survive the sweep")
+  }
 }
